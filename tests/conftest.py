@@ -1,0 +1,20 @@
+"""Test harness: force an 8-device CPU topology before JAX initializes.
+
+Multi-device (data-parallel / mesh) logic is tested without TPU hardware via
+XLA's host-platform device-count override, per SURVEY.md §4.
+"""
+
+import os
+
+# The axon TPU-tunnel plugin exports JAX_PLATFORMS=axon; tests must run on
+# the virtual multi-device CPU topology, so force-override it.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
