@@ -27,6 +27,18 @@ import jax.numpy as jnp
 from flax import struct
 
 
+def rigid_inverse(mat: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form inverse of a rigid [R t; 0 1] transform (f32-accurate)."""
+    R = mat[..., :3, :3]
+    t = mat[..., :3, 3]
+    Rt = jnp.swapaxes(R, -1, -2)
+    top = jnp.concatenate([Rt, -(Rt @ t[..., None])], axis=-1)
+    bottom = jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 0.0, 1.0], mat.dtype), (*mat.shape[:-2], 1, 4)
+    )
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
 def get_projection_matrix(znear, zfar, fovx, fovy, dtype=jnp.float32):
     """OpenGL-style perspective projection used by the splatting pipeline.
 
@@ -94,7 +106,7 @@ class Camera:
         c2w = jnp.asarray(c2w, jnp.float32)
         fovx = jnp.asarray(fovx, jnp.float32)
         fovy = jnp.asarray(fovy, jnp.float32)
-        w2c = jnp.linalg.inv(c2w)
+        w2c = rigid_inverse(c2w)
         wvt = jnp.swapaxes(w2c, -1, -2)
         proj = get_projection_matrix(znear, zfar, fovx, fovy)
         full = wvt @ jnp.swapaxes(proj, -1, -2)
@@ -136,7 +148,7 @@ def align_cameras(c2ws: jnp.ndarray, ref_dist: float | Any = None):
         jnp.array([[-1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, -1.0]], c2ws.dtype)
     )
     ref_c2w = ref_c2w.at[2, 3].set(-ref_dist)
-    transform = ref_c2w @ jnp.linalg.inv(c2ws[0])
+    transform = ref_c2w @ rigid_inverse(c2ws[0])
     aligned = jnp.einsum("ij,njk->nik", transform, c2ws)
     return aligned, transform
 
