@@ -1,0 +1,128 @@
+"""Tile binning: map projected Gaussians to depth-ordered per-tile slabs.
+
+TPU design (static shapes, one sort per view — SURVEY.md §7.3.1):
+  * every Gaussian owns ``max_tiles`` static slots; slot ``d`` enumerates the
+    tiles of its screen bounding rect in row-major order (slots beyond the
+    rect, or beyond the cap, are dead and sort to the end),
+  * the sort key packs ``tile_id * N_pow2 + depth_rank`` into one int32 —
+    depth rank comes from a single global depth argsort, so the per-tile
+    segments of the sorted order are automatically front-to-back,
+  * per-tile segment offsets are recovered with two binary searches
+    (``searchsorted``) over the sorted tile ids.
+
+Equivalent of the CUDA duplicate-keys + radix-sort + identifyTileRanges
+scheme of diff-gaussian-rasterization, with a fixed duplication budget and an
+``overflow`` diagnostic instead of dynamic allocation.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .projection import ProjectedGaussians
+
+
+@struct.dataclass
+class TileBins:
+    """Depth-ordered tile slabs for one view."""
+
+    sorted_ids: jnp.ndarray    # (P,) gaussian index per sorted slot
+    sorted_valid: jnp.ndarray  # (P,) bool, live slot
+    tile_starts: jnp.ndarray   # (num_tiles,) first sorted-slot of each tile
+    tile_counts: jnp.ndarray   # (num_tiles,) number of live slots per tile
+    overflow: jnp.ndarray      # () int32 — tiles dropped by the slot cap
+    tiles_x: int = struct.field(pytree_node=False, default=0)
+    tiles_y: int = struct.field(pytree_node=False, default=0)
+    tile_size: int = struct.field(pytree_node=False, default=32)
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def bin_gaussians(
+    proj: ProjectedGaussians,
+    height: int,
+    width: int,
+    tile_size: int = 32,
+    max_tiles: int = 16,
+) -> TileBins:
+    """Bin one view's projected Gaussians into per-tile depth-ordered slabs."""
+    xy = jax.lax.stop_gradient(proj.xy)
+    radius = jax.lax.stop_gradient(proj.radius)
+    depth = jax.lax.stop_gradient(proj.depth)
+    valid = proj.valid
+
+    N = xy.shape[0]
+    tiles_x = -(-width // tile_size)
+    tiles_y = -(-height // tile_size)
+    num_tiles = tiles_x * tiles_y
+    n_pow2 = _next_pow2(N)
+    assert num_tiles * n_pow2 < 2**31, "int32 key overflow; shrink tiles or N"
+
+    # global front-to-back rank (invalid last)
+    depth_key = jnp.where(valid, depth, jnp.inf)
+    order = jnp.argsort(depth_key)                       # rank -> gaussian
+    rank = jnp.zeros((N,), jnp.int32).at[order].set(
+        jnp.arange(N, dtype=jnp.int32)
+    )                                                    # gaussian -> rank
+
+    # screen rect in tile units (3DGS getRect semantics)
+    rmin_x = jnp.clip(((xy[:, 0] - radius) / tile_size).astype(jnp.int32), 0, tiles_x)
+    rmin_y = jnp.clip(((xy[:, 1] - radius) / tile_size).astype(jnp.int32), 0, tiles_y)
+    rmax_x = jnp.clip(
+        ((xy[:, 0] + radius + tile_size - 1) / tile_size).astype(jnp.int32), 0, tiles_x
+    )
+    rmax_y = jnp.clip(
+        ((xy[:, 1] + radius + tile_size - 1) / tile_size).astype(jnp.int32), 0, tiles_y
+    )
+    rect_w = jnp.maximum(rmax_x - rmin_x, 0)
+    rect_h = jnp.maximum(rmax_y - rmin_y, 0)
+    n_cover = jnp.where(valid, rect_w * rect_h, 0)       # (N,)
+    overflow = jnp.sum(jnp.maximum(n_cover - max_tiles, 0)).astype(jnp.int32)
+
+    # slot expansion: (N, D) tile ids
+    d = jnp.arange(max_tiles, dtype=jnp.int32)[None, :]  # (1, D)
+    safe_w = jnp.maximum(rect_w, 1)[:, None]
+    tile_x = rmin_x[:, None] + d % safe_w
+    tile_y = rmin_y[:, None] + d // safe_w
+    tile_id = tile_y * tiles_x + tile_x                  # (N, D)
+    slot_valid = (d < n_cover[:, None]) & valid[:, None]
+
+    dead_key = jnp.int32(2**31 - 1)
+    keys = jnp.where(
+        slot_valid, tile_id * n_pow2 + rank[:, None], dead_key
+    ).reshape(-1)
+    ids = jnp.broadcast_to(
+        jnp.arange(N, dtype=jnp.int32)[:, None], (N, max_tiles)
+    ).reshape(-1)
+
+    sorted_keys, sorted_ids = jax.lax.sort_key_val(keys, ids)
+    sorted_valid = sorted_keys != dead_key
+    sorted_tile = jnp.where(
+        sorted_valid, sorted_keys // n_pow2, jnp.int32(num_tiles)
+    )
+
+    tile_range = jnp.arange(num_tiles, dtype=jnp.int32)
+    tile_starts = jnp.searchsorted(sorted_tile, tile_range, side="left").astype(
+        jnp.int32
+    )
+    tile_ends = jnp.searchsorted(sorted_tile, tile_range, side="right").astype(
+        jnp.int32
+    )
+
+    return TileBins(
+        sorted_ids=sorted_ids,
+        sorted_valid=sorted_valid,
+        tile_starts=tile_starts,
+        tile_counts=tile_ends - tile_starts,
+        overflow=overflow,
+        tiles_x=tiles_x,
+        tiles_y=tiles_y,
+        tile_size=tile_size,
+    )

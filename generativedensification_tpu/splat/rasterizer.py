@@ -1,0 +1,200 @@
+"""Public differentiable-splatting API (3DGS path).
+
+Replaces the reference's ``lightning/renderer.py`` (GDM
+diff-gaussian-rasterization fork): same outputs — image (H, W, 3), alpha map,
+expected depth, per-Gaussian radii — plus the AbsGS screen-gradient contract
+via ``screen_offset`` / ``screen_abs`` dummy inputs (the (N, 4)
+``means2D`` zero tensor of ``renderer.py:234-247`` split into its signed and
+absolute channel pairs).
+
+All functions are jit-safe with static shapes; ``render_view`` is the unit a
+caller ``vmap``s over views.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..core.transforms import normalize_quat
+from .binning import bin_gaussians
+from .composite import composite_tiles
+from .projection import project_gaussians
+
+
+@struct.dataclass
+class RasterizeOutput:
+    image: jnp.ndarray      # (H, W, 3) in [0, 1] (clamped)
+    alpha: jnp.ndarray      # (H, W)
+    depth: jnp.ndarray      # (H, W) expected depth (Σ z·α·T)
+    radii: jnp.ndarray      # (N,) screen radius in pixels (0 = culled)
+    overflow: jnp.ndarray   # () binning slot-cap overflow diagnostic
+
+
+def rasterize(
+    means3d: jnp.ndarray,
+    shs: jnp.ndarray,
+    opacities: jnp.ndarray,
+    scales: jnp.ndarray,
+    rotations: jnp.ndarray,
+    camera,
+    bg: jnp.ndarray,
+    sh_degree: int,
+    tile_size: int = 32,
+    max_tiles: int = 16,
+    max_per_tile: int = 4096,
+    chunk: int = 32,
+    screen_offset: jnp.ndarray | None = None,
+    screen_abs: jnp.ndarray | None = None,
+    cov3d: jnp.ndarray | None = None,
+) -> RasterizeOutput:
+    """Differentiably splat N activated Gaussians into one camera.
+
+    Args:
+      means3d: (N, 3); shs: (N, (d+1)², 3); opacities: (N,) sigmoid-activated;
+      scales: (N, 3) exp-activated; rotations: (N, 4) quaternions (normalized
+      internally); camera: ``core.Camera``; bg: (3,).
+      screen_offset / screen_abs: optional (N, 2) zero tensors whose
+        gradients expose the signed / absolute screen-space gradients used
+        for densification selection.
+    """
+    N = means3d.shape[0]
+    H, W = camera.height, camera.width
+    max_per_tile = min(max_per_tile, N * max_tiles)
+
+    proj = project_gaussians(
+        means3d,
+        cov3d,
+        shs,
+        opacities,
+        camera,
+        sh_degree,
+        scales=scales,
+        rotations=normalize_quat(rotations) if rotations is not None else None,
+        screen_offset=screen_offset,
+    )
+    bins = bin_gaussians(proj, H, W, tile_size=tile_size, max_tiles=max_tiles)
+
+    ids = bins.sorted_ids
+    slot_xy = jnp.take(proj.xy, ids, axis=0)
+    slot_conic = jnp.take(proj.conic, ids, axis=0)
+    slot_color = jnp.take(proj.color, ids, axis=0)
+    slot_opa = jnp.take(proj.opacity, ids, axis=0)
+    slot_depth = jnp.take(proj.depth, ids, axis=0)
+    if screen_abs is None:
+        slot_abs = jnp.zeros_like(slot_xy)
+    else:
+        slot_abs = jnp.take(screen_abs.astype(jnp.float32), ids, axis=0)
+
+    image, alpha, depth = composite_tiles(
+        slot_xy,
+        slot_abs,
+        slot_conic,
+        slot_color,
+        slot_opa,
+        slot_depth,
+        bg.astype(jnp.float32),
+        (bins.tile_starts, bins.tile_counts, bins.sorted_valid),
+        bins.tiles_x,
+        bins.tiles_y,
+        tile_size,
+        max_per_tile,
+        chunk,
+    )
+    # crop any tile padding back to the true resolution
+    image = jnp.clip(image[:H, :W], 0.0, 1.0)
+    alpha = alpha[:H, :W]
+    depth = depth[:H, :W]
+    return RasterizeOutput(
+        image=image,
+        alpha=alpha,
+        depth=depth,
+        radii=proj.radius,
+        overflow=bins.overflow,
+    )
+
+
+def render_view(
+    means3d,
+    shs,
+    opacity_raw,
+    scale_raw,
+    rotation_raw,
+    camera,
+    bg,
+    sh_degree: int = 1,
+    scale_shift: float = 0.0,
+    opacity_shift: float = 0.0,
+    **kw,
+) -> RasterizeOutput:
+    """Raw-parameter entry: applies the pipeline's activations then splats.
+
+    Activation conventions of ``lightning/renderer.py:93-101`` +
+    head shifts of ``lightning/network.py:361-375``:
+    scale = exp(raw + shift), opacity = sigmoid(raw + shift),
+    rotation = normalize(raw).
+    """
+    return rasterize(
+        means3d,
+        shs,
+        jax.nn.sigmoid(opacity_raw + opacity_shift),
+        jnp.exp(scale_raw + scale_shift),
+        rotation_raw,
+        camera,
+        bg,
+        sh_degree,
+        **kw,
+    )
+
+
+class Renderer:
+    """Object-style wrapper mirroring the reference ``Renderer`` surface.
+
+    ``lightning/renderer.py:78-272``: holds sh_degree / background / scene
+    radius, exposes ``render_img`` returning the ``{image, depth, acc_map}``
+    dict (with optional ``prex`` key suffix for the fine stage).
+    """
+
+    def __init__(self, sh_degree: int = 1, white_background: bool = True, radius: float = 1.0):
+        self.sh_degree = sh_degree
+        self.white_background = white_background
+        self.radius = radius
+        self.bg_color = jnp.ones(3) if white_background else jnp.zeros(3)
+
+    def render_img(
+        self,
+        cam,
+        rays,
+        centers,
+        shs,
+        opacity,
+        scales,
+        rotations,
+        bg_color=None,
+        prex: str = "",
+        **kw,
+    ) -> dict:
+        """Activated-attribute render; returns the reference's output dict."""
+        del rays  # reference accepts rays for API parity; unused by 3DGS path
+        bg = self.bg_color if bg_color is None else jnp.asarray(bg_color)
+        sh = shs.reshape(shs.shape[0], -1, 3)
+        out = rasterize(
+            centers,
+            sh,
+            opacity.reshape(-1),
+            scales,
+            rotations,
+            cam,
+            bg,
+            self.sh_degree,
+            **kw,
+        )
+        return {
+            f"image{prex}": out.image,
+            f"depth{prex}": out.depth[..., None],
+            f"acc_map{prex}": out.alpha,
+            f"radii{prex}": out.radii,
+        }

@@ -84,13 +84,13 @@ class TestAlignCameras:
         aligned, tmat = align_cameras(jnp.asarray(c2ws))
         # view 0 sits at (0, 0, -r)
         np.testing.assert_allclose(
-            np.asarray(aligned[0, :3, 3]), [0, 0, -1.9], atol=2e-3
+            np.asarray(aligned[0, :3, 3]), [0, 0, -1.9], atol=5e-3
         )
         # relative geometry preserved: pairwise distances unchanged
         d_orig = np.linalg.norm(c2ws[:, :3, 3][:, None] - c2ws[:, :3, 3][None], axis=-1)
         pos = np.asarray(aligned[:, :3, 3])
         d_new = np.linalg.norm(pos[:, None] - pos[None], axis=-1)
-        np.testing.assert_allclose(d_new, d_orig, atol=2e-3)
+        np.testing.assert_allclose(d_new, d_orig, atol=5e-3)
 
 
 class TestRays:
