@@ -46,10 +46,14 @@ def get_projection_matrix(znear, zfar, fovx, fovy, dtype=jnp.float32):
     to clip space.  Column-vector convention; callers transpose for the
     rasterizer's row-vector layout.
     """
-    znear = jnp.asarray(znear, dtype)
-    zfar = jnp.asarray(zfar, dtype)
-    tan_half_fovx = jnp.tan(jnp.asarray(fovx, dtype) / 2)
-    tan_half_fovy = jnp.tan(jnp.asarray(fovy, dtype) / 2)
+    znear, zfar, fovx, fovy = jnp.broadcast_arrays(
+        jnp.asarray(znear, dtype),
+        jnp.asarray(zfar, dtype),
+        jnp.asarray(fovx, dtype),
+        jnp.asarray(fovy, dtype),
+    )
+    tan_half_fovx = jnp.tan(fovx / 2)
+    tan_half_fovy = jnp.tan(fovy / 2)
 
     zero = jnp.zeros_like(znear)
     one = jnp.ones_like(znear)
@@ -104,8 +108,9 @@ class Camera:
         alignment, kept for numerical parity.
         """
         c2w = jnp.asarray(c2w, jnp.float32)
-        fovx = jnp.asarray(fovx, jnp.float32)
-        fovy = jnp.asarray(fovy, jnp.float32)
+        batch_shape = c2w.shape[:-2]
+        fovx = jnp.broadcast_to(jnp.asarray(fovx, jnp.float32), batch_shape)
+        fovy = jnp.broadcast_to(jnp.asarray(fovy, jnp.float32), batch_shape)
         w2c = rigid_inverse(c2w)
         wvt = jnp.swapaxes(w2c, -1, -2)
         proj = get_projection_matrix(znear, zfar, fovx, fovy)

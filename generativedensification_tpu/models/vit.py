@@ -1,0 +1,130 @@
+"""ViT-B/16 image encoder (DINO v1 architecture), Flax.
+
+Replaces the reference's timm ``vit_base_patch16_224.dino`` wrapper
+(``lightning/network.py:42-83``).  Same architecture: 16x16 conv patch
+embed, prepended CLS token, learned positional embeddings (base 14x14 grid,
+bicubically resized for other resolutions — timm's ``dynamic_img_size``),
+12 pre-norm blocks (768 dim, 12 heads, MLP x4, LN eps 1e-6).
+
+Pretrained DINO weights cannot be fetched in this environment; the encoder
+trains from scratch by default, and ``tools/convert_torch_ckpt.py`` maps a
+torch checkpoint (e.g. the reference's released ``epoch=49.ckpt``, which
+embeds the finetuned ViT) onto these parameters.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+DINO_MEAN = (0.485, 0.456, 0.406)
+DINO_STD = (0.229, 0.224, 0.225)
+
+
+class ViTBlock(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        h = nn.LayerNorm(epsilon=self.eps, name="norm1")(x)
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads,
+            qkv_features=self.dim,
+            deterministic=deterministic,
+            name="attn",
+        )(h, h)
+        x = x + h
+        h = nn.LayerNorm(epsilon=self.eps, name="norm2")(x)
+        h = nn.Dense(int(self.dim * self.mlp_ratio), name="mlp_fc1")(h)
+        h = nn.gelu(h)
+        h = nn.Dense(self.dim, name="mlp_fc2")(h)
+        return x + h
+
+
+class VisionTransformer(nn.Module):
+    """Patch-embed ViT returning all tokens (CLS first)."""
+
+    patch_size: int = 16
+    dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    base_grid: int = 14  # pos-embed grid at the 224^2 pretraining size
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, images, deterministic: bool = True):
+        """images: (B, H, W, 3) already normalized. -> (B, 1+L, dim)."""
+        B, H, W, _ = images.shape
+        gh, gw = H // self.patch_size, W // self.patch_size
+
+        x = nn.Conv(
+            self.dim,
+            (self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            padding="VALID",
+            name="patch_embed",
+        )(images)
+        x = x.reshape(B, gh * gw, self.dim)
+
+        cls = self.param(
+            "cls_token", nn.initializers.zeros, (1, 1, self.dim)
+        )
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.normal(0.02),
+            (1, self.base_grid * self.base_grid + 1, self.dim),
+        )
+        cls_pos, grid_pos = pos[:, :1], pos[:, 1:]
+        if (gh, gw) != (self.base_grid, self.base_grid):
+            grid_pos = jax.image.resize(
+                grid_pos.reshape(1, self.base_grid, self.base_grid, self.dim),
+                (1, gh, gw, self.dim),
+                method="bicubic",
+            ).reshape(1, gh * gw, self.dim)
+
+        x = x + grid_pos
+        cls_tok = jnp.broadcast_to(cls + cls_pos, (B, 1, self.dim))
+        x = jnp.concatenate([cls_tok, x], axis=1)
+
+        for i in range(self.depth):
+            x = ViTBlock(
+                self.dim, self.num_heads, self.mlp_ratio, self.eps,
+                name=f"block{i}",
+            )(x, deterministic)
+        return nn.LayerNorm(epsilon=self.eps, name="norm")(x)
+
+
+class DinoEncoder(nn.Module):
+    """DinoWrapper equivalent: normalize, encode, drop CLS.
+
+    (``network.py:51-57``: [0,1] RGB -> timm normalize -> forward_features
+    -> drop CLS token.)
+    """
+
+    variant: str = "vit_base_patch16_224.dino"
+
+    @nn.compact
+    def __call__(self, images, deterministic: bool = True):
+        """images: (B, H, W, 3) in [0, 1]. -> (B, L, C) patch tokens."""
+        if "vit_base" in self.variant:
+            dim, depth, heads = 768, 12, 12
+        elif "vit_small" in self.variant:
+            dim, depth, heads = 384, 12, 6
+        else:
+            raise NotImplementedError(f"unknown ViT variant {self.variant!r}")
+        mean = jnp.asarray(DINO_MEAN)
+        std = jnp.asarray(DINO_STD)
+        x = (images - mean) / std
+        tokens = VisionTransformer(
+            dim=dim, depth=depth, num_heads=heads, name="vit"
+        )(x, deterministic)
+        return tokens[:, 1:]
+
+    @property
+    def num_features(self) -> int:
+        return 384 if "vit_small" in self.variant else 768

@@ -1,0 +1,407 @@
+"""Flax modules of the point-serialization densification decoder.
+
+Architectural parity with the reference ``point_decoder/autoencoder.py``
+(file:line cites inline), re-expressed over the dense batched
+:class:`~generativedensification_tpu.points.structure.PointSet`:
+
+  * ``WindowAttention`` — the ``SerializedAttention`` equivalent.  After the
+    static-budget design every sample's point count is a multiple of the
+    patch size, so "varlen flash attention + tail-replication padding"
+    (``autoencoder.py:127-235``) collapses to a plain
+    ``(B, nWin, K, H, D)`` batched attention that XLA maps straight onto
+    the MXU; invalid points sort to the tail and are masked.
+  * ``NeighborConvCPE`` — the spconv ``SubMConv3d`` xCPE
+    (``autoencoder.py:290-300``) as a gather + 27-tap contraction over the
+    precomputed neighbor table.
+  * ``Block``, ``GlobalPooling``, ``UpscaleModule``, ``MaskModule``,
+    ``GaussianModule`` + residual variants mirror ``autoencoder.py``
+    (see class docstrings).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .ops import (
+    NEG_INF,
+    masked_layer_norm,
+    masked_mean,
+    masked_softmax,
+    straight_through,
+    straight_through_res,
+    topk_split,
+)
+from .structure import PointSet, gather_points
+
+
+class LayerNormNoAffine(nn.Module):
+    """LayerNorm(elementwise_affine=False) — the decoder's ln_layer
+    (``network.py:430-433``, lnnorm_affine=False)."""
+
+    @nn.compact
+    def __call__(self, x):
+        return masked_layer_norm(x)
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth on a residual branch."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.rate <= 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        key = self.make_rng("dropout")
+        mask = jax.random.bernoulli(key, keep, shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class PointMLP(nn.Module):
+    """MLP(ratio) block (``autoencoder.py`` MLP: fc-act-drop-fc-drop)."""
+
+    hidden: int
+    out: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dense(self.hidden)(x)
+        x = nn.gelu(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = nn.Dense(self.out)(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return x
+
+
+class WindowAttention(nn.Module):
+    """Windowed attention over one serialized order.
+
+    ``SerializedAttention`` parity (``autoencoder.py:64-235``): joint qkv
+    projection (bias per qkv_bias), scale = head_dim^-0.5 (qk_scale
+    override), per-window softmax attention, output projection + dropout.
+    Window size = patch_size (static); invalid tail points are masked out
+    of the softmax.
+    """
+
+    channels: int
+    num_heads: int
+    patch_size: int
+    qkv_bias: bool = True
+    qk_scale: float | None = None
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    order_index: int = 0
+
+    @nn.compact
+    def __call__(self, ps: PointSet, deterministic: bool = True) -> jnp.ndarray:
+        B, N, C = ps.feat.shape
+        H = self.num_heads
+        K = self.patch_size
+        D = C // H
+        assert N % K == 0, f"point budget {N} must be a multiple of patch {K}"
+        nw = N // K
+        scale = self.qk_scale or D**-0.5
+
+        order = ps.orders[self.order_index]      # (B, N)
+        inverse = ps.inverses[self.order_index]  # (B, N)
+
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, name="qkv")(ps.feat)
+        qkv = jnp.take_along_axis(qkv, order[..., None], axis=1)
+        kmask = jnp.take_along_axis(ps.mask, order, axis=1)  # (B, N)
+
+        qkv = qkv.reshape(B, nw, K, 3, H, D).transpose(3, 0, 1, 4, 2, 5)
+        q, k, v = qkv[0], qkv[1], qkv[2]          # (B, nw, H, K, D)
+
+        attn = jnp.einsum(
+            "bwhkd,bwhjd->bwhkj", q * scale, k,
+            preferred_element_type=jnp.float32,
+        )
+        key_ok = kmask.reshape(B, nw, 1, 1, K)
+        attn = jnp.where(key_ok, attn, NEG_INF)
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+
+        out = jnp.einsum("bwhkj,bwhjd->bwhkd", attn.astype(v.dtype), v)
+        out = out.transpose(0, 1, 3, 2, 4).reshape(B, N, C)
+        out = jnp.take_along_axis(out, inverse[..., None], axis=1)
+
+        out = nn.Dense(C, name="proj")(out)
+        out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        return out
+
+
+class NeighborConvCPE(nn.Module):
+    """xCPE: submanifold 3³ conv + Linear + LN (``autoencoder.py:290-300``).
+
+    The conv is a 27-tap gather-contraction over ``ps.neighbor_idx``
+    (absent voxels contribute zero — spconv submanifold semantics).
+    Implemented as one fused einsum: (B, N, 27, C) x (27, C, C) -> (B, N, C).
+    """
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, ps: PointSet) -> jnp.ndarray:
+        C = self.channels
+        nbr = ps.neighbor_idx                    # (B, N, 27)
+        hit = nbr >= 0
+        safe = jnp.maximum(nbr, 0)
+        gathered = jnp.take_along_axis(
+            ps.feat[:, :, :], safe.reshape(safe.shape[0], -1)[..., None], axis=1
+        ).reshape(*nbr.shape, C)
+        gathered = jnp.where(hit[..., None], gathered, 0.0)
+
+        w = self.param(
+            "kernel", nn.initializers.lecun_normal(), (27, C, C)
+        )
+        b = self.param("bias", nn.initializers.zeros, (C,))
+        y = jnp.einsum("bnoc,ocd->bnd", gathered, w) + b
+        y = nn.Dense(C, name="linear")(y)
+        return masked_layer_norm(y)
+
+
+class Block(nn.Module):
+    """PTv3 block (``autoencoder.py:264-353``): CPE residual, pre-norm
+    attention residual with DropPath, pre-norm MLP residual."""
+
+    channels: int
+    num_heads: int
+    patch_size: int = 48
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: float | None = None
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    drop_path: float = 0.0
+    pre_norm: bool = True
+    order_index: int = 0
+
+    @nn.compact
+    def __call__(self, ps: PointSet, deterministic: bool = True) -> PointSet:
+        feat = ps.feat
+        feat = feat + NeighborConvCPE(self.channels, name="cpe")(ps.replace(feat=feat))
+
+        dp = DropPath(self.drop_path, name="drop_path")
+        shortcut = feat
+        x = masked_layer_norm(feat) if self.pre_norm else feat
+        x = WindowAttention(
+            self.channels,
+            self.num_heads,
+            self.patch_size,
+            self.qkv_bias,
+            self.qk_scale,
+            self.attn_drop,
+            self.proj_drop,
+            self.order_index,
+            name="attn",
+        )(ps.replace(feat=x), deterministic=deterministic)
+        feat = shortcut + dp(x, deterministic)
+        if not self.pre_norm:
+            feat = masked_layer_norm(feat)
+
+        shortcut = feat
+        x = masked_layer_norm(feat) if self.pre_norm else feat
+        x = PointMLP(
+            int(self.channels * self.mlp_ratio),
+            self.channels,
+            self.proj_drop,
+            name="mlp",
+        )(x, deterministic=deterministic)
+        feat = shortcut + dp(x, deterministic)
+        if not self.pre_norm:
+            feat = masked_layer_norm(feat)
+        return ps.replace(feat=feat)
+
+
+class GlobalPooling(nn.Module):
+    """Per-sample masked mean -> ``global_feat`` (``autoencoder.py:498-514``)."""
+
+    @nn.compact
+    def __call__(self, ps: PointSet) -> PointSet:
+        return ps.replace(global_feat=masked_mean(ps.feat, ps.mask))
+
+
+def positional_encoding(freqs: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """sin/cos PE, (.., 3) -> (.., 2*3*n_freq) (``autoencoder.py:792-794``)."""
+    fx = (freqs[:, None] * x[..., None, :]).reshape(*x.shape[:-1], -1)
+    return jnp.concatenate([jnp.sin(fx), jnp.cos(fx)], axis=-1)
+
+
+class UpscaleModule(nn.Module):
+    """Learned SxN upsampling (``autoencoder.py:797-899``).
+
+    Each parent emits S children at ``coord + 0.5*grid_size*tanh(delta_x)``
+    with features ``skip(parent) + drop_path(delta_f([PE(dx), parent]))``.
+    """
+
+    in_channels: int
+    out_channels: int
+    upscale_factor: int
+    n_frequencies: int = 15
+    drop_path: float = 0.0
+    enable_absolute_pe: bool = False
+    is_first: bool = True
+    carry_attribute: bool = False
+
+    @nn.compact
+    def __call__(self, ps: PointSet, deterministic: bool = True) -> PointSet:
+        S = self.upscale_factor
+        B, N, C = ps.feat.shape
+        feat = masked_layer_norm(ps.feat)  # in_norm
+
+        delta_x = nn.Sequential(
+            [nn.Dense(C), nn.gelu, nn.Dense(3 * S)], name="delta_x"
+        )(feat).reshape(B, N * S, 3)
+        delta_x = 0.5 * ps.grid_size * jnp.tanh(delta_x)
+
+        skip_x = jnp.repeat(ps.coord, S, axis=1)
+        skip_f = jnp.repeat(feat, S, axis=1)
+        out_x = skip_x + delta_x
+
+        if self.n_frequencies > 0:
+            freqs = 2.0 ** jnp.arange(self.n_frequencies)
+            pe_in = out_x if self.enable_absolute_pe else delta_x
+            pe = positional_encoding(freqs, pe_in)
+            df_in = jnp.concatenate([pe, skip_f], axis=-1)
+        else:
+            df_in = jnp.concatenate([delta_x, skip_f], axis=-1)
+
+        delta_f = nn.Sequential(
+            [
+                LayerNormNoAffine(),
+                nn.Dense(C),
+                nn.gelu,
+                nn.Dense(self.out_channels),
+            ],
+            name="delta_f",
+        )(df_in)
+        skip = nn.Dense(self.out_channels, name="skip")(skip_f)
+        out_f = skip + DropPath(self.drop_path, name="drop_path")(
+            delta_f, deterministic
+        )
+        out_f = masked_layer_norm(out_f)  # out_norm
+
+        new_mask = jnp.repeat(ps.mask, S, axis=1)
+        attribute = ps.attribute
+        if self.carry_attribute and attribute is not None:
+            attribute = jnp.repeat(attribute, S, axis=1)
+        return ps.replace(
+            coord=out_x,
+            feat=out_f,
+            mask=new_mask,
+            attribute=attribute,
+            orders=None,
+            inverses=None,
+            grid_coord=None,
+            neighbor_idx=None,
+            prob=None,
+        )
+
+
+class MaskModule(nn.Module):
+    """Non-residual densification gate (``autoencoder.py:615-707``).
+
+    sigmoid-prob MLP -> straight-through feature scaling -> static top-k
+    split into (non_leaf, leaf) PointSets.  ratio == 1.0: every point is
+    both leaf and non-leaf (terminal level).
+    """
+
+    dim: int
+    temperature: float = 1.0
+    non_leaf_ratio: float = 1.0
+    mask_sampling_type: str = "topk"
+
+    @nn.compact
+    def __call__(self, ps: PointSet) -> tuple[PointSet, PointSet]:
+        if self.non_leaf_ratio >= 1.0:
+            return ps, ps
+        if self.mask_sampling_type != "topk":
+            raise NotImplementedError(
+                "static-shape decoder supports mask_sampling_type='topk' "
+                "(top-p has data-dependent sizes; see SURVEY.md §7.3.2)"
+            )
+        B, N, _ = ps.feat.shape
+        raw = nn.Sequential(
+            [nn.Dense(self.dim), nn.gelu, nn.Dense(1)], name="net"
+        )(ps.feat)[..., 0]
+        prob = jax.nn.sigmoid(raw)
+        feat = straight_through(ps.feat, prob)
+        ps = ps.replace(feat=feat, prob=prob)
+
+        k = int(-(-N * self.non_leaf_ratio // 1))  # ceil
+        top_idx, rest_idx, top_ok, rest_ok = topk_split(prob, ps.mask, k)
+        non_leaf = gather_points(ps, top_idx, new_mask=top_ok)
+        leaf = gather_points(ps, rest_idx, new_mask=rest_ok)
+        return non_leaf, leaf
+
+
+class MaskResModule(nn.Module):
+    """Residual-path gate (``autoencoder.py:709-790``): per-sample softmax
+    prob with temperature, hard-mask straight-through; the split is
+    deferred to the next SerializationResModule — returned as (ps with
+    non_leaf info, leaf view)."""
+
+    dim: int
+    temperature: float = 1.0
+    non_leaf_ratio: float = 1.0
+    mask_sampling_type: str = "topk"
+
+    @nn.compact
+    def __call__(self, ps: PointSet) -> tuple[PointSet, jnp.ndarray | None]:
+        if self.non_leaf_ratio >= 1.0:
+            return ps, None
+        if self.mask_sampling_type != "topk":
+            raise NotImplementedError("topk only (static shapes)")
+        B, N, _ = ps.feat.shape
+        raw = nn.Sequential(
+            [nn.Dense(self.dim), nn.gelu, nn.Dense(1)], name="net"
+        )(ps.feat)[..., 0]
+        prob = masked_softmax(raw / self.temperature, ps.mask, axis=1)
+
+        k = int(-(-N * self.non_leaf_ratio // 1))
+        top_idx, _, _, _ = topk_split(prob, ps.mask, k)
+        non_leaf_mask = jnp.zeros((B, N), bool).at[
+            jnp.arange(B)[:, None], top_idx
+        ].set(True) & ps.mask
+        feat = straight_through_res(ps.feat, prob, non_leaf_mask)
+        ps = ps.replace(feat=feat, prob=prob)
+        return ps, non_leaf_mask
+
+
+class GaussianModule(nn.Module):
+    """Per-point attribute head (``autoencoder.py:1104-1185``):
+    MLP(dim -> dim -> num_sh + 1 + 3 + 4).  In residual mode the caller adds
+    the inherited parent attribute."""
+
+    dim: int
+    sh_degree: int = 1
+
+    @property
+    def num_attrs(self) -> int:
+        return 3 * (self.sh_degree + 1) ** 2 + 1 + 3 + 4
+
+    @nn.compact
+    def __call__(self, feat: jnp.ndarray) -> jnp.ndarray:
+        return nn.Sequential(
+            [nn.Dense(self.dim), nn.gelu, nn.Dense(self.num_attrs)],
+            name="feat2attr",
+        )(feat)
+
+
+def split_attributes(attr: jnp.ndarray, sh_degree: int):
+    """attribute (..., A) -> (sh, opacity, scale, rotation) slices
+    (``autoencoder.py:1129-1133`` layout)."""
+    num_sh = 3 * (sh_degree + 1) ** 2
+    return (
+        attr[..., :num_sh],
+        attr[..., num_sh: num_sh + 1],
+        attr[..., num_sh + 1: num_sh + 4],
+        attr[..., num_sh + 4: num_sh + 8],
+    )

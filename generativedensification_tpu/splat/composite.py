@@ -150,7 +150,7 @@ def _composite_fwd_impl(
         include = (U >= T_EPS).astype(alpha.dtype)
         w = alpha * T_exc * include                  # (T, K, npix)
 
-        C = C + jnp.einsum("tkp,tkc->tpc", w, g_col)
+        C = C + jnp.einsum("tkp,tkc->tpc", w, g_col, precision=jax.lax.Precision.HIGHEST)
         D = D + jnp.sum(w * g_dep[..., None], axis=1)
         T_raw = T_raw * cum[:, -1, :]
         T_eff = T_eff * jnp.prod(1.0 - alpha * include, axis=1)
@@ -220,8 +220,9 @@ def _composite_bwd(
     gA = _tile(gA_img[..., None], tiles_x, tiles_y, ts)[..., 0]
     gD = _tile(gD_img[..., None], tiles_x, tiles_y, ts)[..., 0]
 
-    # total contribution term per pixel: G = gC·(C - T_fin·bg) + gD·D
-    G = jnp.sum(gC * (C_fin - T_fin[..., None] * bg), axis=-1) + gD * D_fin
+    # total contribution term per pixel: G = gC·C + gD·D
+    # (the saved residual C is the accumulated color *before* background)
+    G = jnp.sum(gC * C_fin, axis=-1) + gD * D_fin
     # background/alpha-map term: dL/dT_fin
     gTfin = jnp.sum(gC * bg[None, None, :], axis=-1) - gA  # (T, npix)
 
@@ -254,7 +255,7 @@ def _composite_bwd(
 
         # per-(slot,pixel) contribution term: (gC·c_i + gD·z_i)
         contrib = (
-            jnp.einsum("tpc,tkc->tkp", gC, g_col) + gD[:, None, :] * g_dep[..., None]
+            jnp.einsum("tpc,tkc->tkp", gC, g_col, precision=jax.lax.Precision.HIGHEST) + gD[:, None, :] * g_dep[..., None]
         )
         # inclusive prefix within chunk + carry-in prefix
         pref_inc = prefix[:, None, :] + jnp.cumsum(contrib * w, axis=1)
@@ -289,7 +290,7 @@ def _composite_bwd(
             [red(jnp.abs(gx_px)), red(jnp.abs(gy_px))], axis=-1
         )
         slot_con = jnp.stack([red(d_a_px), red(d_b_px), red(d_c_px)], axis=-1)
-        slot_col = jnp.einsum("tkp,tpc->tkc", w, gC)
+        slot_col = jnp.einsum("tkp,tpc->tkc", w, gC, precision=jax.lax.Precision.HIGHEST)
         slot_opa = red(d_opa_px)
         slot_dep = red(w * gD[:, None, :])
 

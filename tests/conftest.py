@@ -17,4 +17,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The env var alone is not enough: the axon sitecustomize registers its PJRT
+# plugin at interpreter startup and re-points jax_platforms. Overriding the
+# config after import (but before backend init) pins tests to CPU.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
