@@ -253,18 +253,27 @@ class GaussianDecoder(nn.Module):
     def out_dim(self) -> int:
         return 3 + self.sh_dim + self.opacity_dim + self.scaling_dim + self.rotation_dim
 
-    @nn.compact
-    def __call__(self, *args, method: str = "coarse", **kw):
-        raise NotImplementedError("call .coarse() / .fine() via nn.apply method=")
+    def setup(self):
+        xavier = nn.initializers.xavier_uniform()
+        self.coarse_fc0 = nn.Dense(self.in_dim, kernel_init=xavier)
+        self.coarse_fc1 = nn.Dense(self.in_dim, kernel_init=xavier)
+        self.coarse_out = nn.Dense(self.out_dim * self.K, kernel_init=xavier)
+        self.fine_norm = nn.LayerNorm()
+        self.fine_cross = CrossAttention(
+            self.in_dim, self.fine_heads, self.fine_cond_dim
+        )
+        self.fine_fc0 = nn.Dense(self.in_dim, kernel_init=xavier)
+        self.fine_out = nn.Dense(self.in_dim + self.sh_dim, kernel_init=xavier)
+
+    def __call__(self, feats, opacity_shift, scaling_shift):
+        return self.coarse(feats, opacity_shift, scaling_shift)
 
     def coarse(self, feats, opacity_shift, scaling_shift):
         """(B, N, 80) -> offset, sh, scaling, rotation, opacity
         (``forward_coarse``, :292-310; sigmoid*2-1 offsets, head shifts)."""
-        x = feats
-        for i in range(2):
-            x = nn.Dense(self.in_dim, name=f"coarse_fc{i}")(x)
-            x = nn.relu(x)
-        x = nn.Dense(self.out_dim * self.K, name="coarse_out")(x)
+        x = nn.relu(self.coarse_fc0(feats))
+        x = nn.relu(self.coarse_fc1(x))
+        x = self.coarse_out(x)
         x = x.reshape(*x.shape[:-1], self.K, self.out_dim).astype(jnp.float32)
 
         offset, sh, opacity, scaling, rotation = jnp.split(
@@ -288,12 +297,8 @@ class GaussianDecoder(nn.Module):
     def fine(self, volume_feat, point_feats):
         """(.., M, 80) queries vs (.., M, V, 8) per-view samples ->
         (fine feature 80, SH residual 12) (``forward_fine``, :312-316)."""
-        q = nn.LayerNorm(name="fine_norm")(volume_feat)[..., None, :]
-        x = CrossAttention(
-            self.in_dim, self.fine_heads, self.fine_cond_dim, name="fine_cross",
-        )(q, point_feats)[..., 0, :]
-        x = nn.Dense(self.in_dim, name="fine_fc0")(x)
-        x = nn.relu(x)
-        x = nn.Dense(self.in_dim + self.sh_dim, name="fine_out")(x)
-        x = x.astype(jnp.float32)
+        q = self.fine_norm(volume_feat)[..., None, :]
+        x = self.fine_cross(q, point_feats)[..., 0, :]
+        x = nn.relu(self.fine_fc0(x))
+        x = self.fine_out(x).astype(jnp.float32)
         return x[..., : self.in_dim], x[..., self.in_dim:]

@@ -1,0 +1,656 @@
+"""The full Generative Densification network, TPU-native.
+
+Re-design of ``lightning/network.py:318-979`` under JAX's static-shape
+discipline (SURVEY.md §7.3):
+
+  * the per-sample / per-view Python render loops (:813-840, :964-973)
+    become ``vmap`` over (B, V) of the tiled rasterizer;
+  * the dynamic opacity mask (:804-805) + ``_check_mask`` heuristics
+    (:725-732) become a *static* top-``mask_pool`` opacity gather with a
+    validity mask;
+  * gradient-guided selection (:842-896) is a plain ``jax.grad`` of an
+    isolated render-MSE closure — the AbsGS channels arrive as the
+    gradient of the zero ``screen_abs`` input (custom-VJP contract of
+    ``splat.composite``), exactly the reference's ``means2D.grad[:, 2:4]``;
+  * top-k selection has static ``k_num``; every decoder level count is
+    static (12k -> 24k -> 19.2k/4.8k -> 76.8k for the release config);
+  * the fine render unions the decoder leaves with the non-selected pool
+    remainder (:947-959), all sizes static, dead slots culled by mask.
+
+Note on selection loss: the reference accidentally broadcasts the rendered
+sample against every sample's ground truth (``network.py:858-861``); we
+compute the per-sample MSE against its own ground truth (monotone rescaling
+doesn't change the top-k ranking).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..core.camera import Camera
+from ..core.rays import rays_to_plucker
+from ..core.sh import rsh_cart
+from ..points.modules import (
+    Block,
+    GaussianModule,
+    GlobalPooling,
+    MaskModule,
+    MaskResModule,
+    UpscaleModule,
+    split_attributes,
+)
+from ..points.ops import topk_split
+from ..points.structure import (
+    PointSet,
+    compute_neighbor_idx,
+    serialize_pointset,
+)
+from ..splat.rasterizer import rasterize
+from .backbone import (
+    GaussianDecoder,
+    ModLN,
+    VolTransformer,
+    bilinear_sample,
+    build_dense_grid,
+    project_points,
+)
+from .vit import DinoEncoder
+
+
+@dataclasses.dataclass(frozen=True)
+class NetworkConfig:
+    """Static hyperparameters (mirrors ``configs/base.yaml`` model group)."""
+
+    n_views: int = 4
+    encoder_backbone: str = "vit_base_patch16_224.dino"
+    n_groups: tuple = (16,)
+    n_offset_groups: int = 32
+    K: int = 1
+    sh_degree: int = 1
+    num_layers: int = 12
+    num_heads: int = 16
+    view_embed_dim: int = 32
+    embedding_dim: int = 256
+    vol_feat_reso: int = 16
+    vol_embedding_reso: int = 32
+    vol_embedding_out_dim: int = 80
+    # point decoder
+    k_num: int = 12000
+    order: tuple = ("z", "z-trans", "hilbert", "hilbert-trans")
+    stride: tuple = (2,)
+    dec_depths: tuple = (2, 2)
+    dec_channels: tuple = (160, 256)
+    dec_num_head: tuple = (20, 32)
+    dec_patch_size: tuple = (48, 48)
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: float | None = None
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    drop_path: float = 0.3
+    pre_norm: bool = True
+    shuffle_orders: bool = True
+    enable_ada_lnnorm: bool = True
+    upscale_factor: tuple = (2, 4)
+    n_frequencies: int = 15
+    enable_absolute_pe: bool = False
+    enable_upscale_drop_path: bool = True
+    use_mask: bool = True
+    temperature: float = 1.0
+    non_leaf_ratio: tuple = (0.8,)
+    mask_sampling_type: str = "topk"
+    enable_residual_attribute: bool = False
+    # TPU static-shape knobs (no reference counterpart)
+    mask_pool: int = 49152        # static stand-in for the opacity mask
+    tile_size: int = 32
+    max_tiles: int = 8
+    max_per_tile: int = 4096
+    raster_chunk: int = 32
+    white_bkgd: bool = True
+    scene_size: float = 0.5
+
+    @classmethod
+    def from_config(cls, cfg: Any) -> "NetworkConfig":
+        m = cfg.model
+        tpu = cfg.get("tpu", {})
+        get = lambda node, k, d: node.get(k, d) if hasattr(node, "get") else d
+        return cls(
+            n_views=cfg.n_views,
+            encoder_backbone=m.encoder_backbone,
+            n_groups=tuple(m.n_groups),
+            n_offset_groups=m.n_offset_groups,
+            K=m.K,
+            sh_degree=m.sh_degree,
+            num_layers=m.num_layers,
+            num_heads=m.num_heads,
+            view_embed_dim=m.view_embed_dim,
+            embedding_dim=m.embedding_dim,
+            vol_feat_reso=m.vol_feat_reso,
+            vol_embedding_reso=m.vol_embedding_reso,
+            vol_embedding_out_dim=m.vol_embedding_out_dim,
+            k_num=m.k_num,
+            order=tuple(m.order),
+            stride=tuple(m.stride),
+            dec_depths=tuple(m.dec_depths),
+            dec_channels=tuple(m.dec_channels),
+            dec_num_head=tuple(m.dec_num_head),
+            dec_patch_size=tuple(m.dec_patch_size),
+            mlp_ratio=m.mlp_ratio,
+            qkv_bias=m.qkv_bias,
+            qk_scale=m.qk_scale,
+            attn_drop=m.attn_drop,
+            proj_drop=m.proj_drop,
+            drop_path=m.drop_path,
+            pre_norm=m.pre_norm,
+            shuffle_orders=m.shuffle_orders,
+            enable_ada_lnnorm=m.enable_ada_lnnorm,
+            upscale_factor=tuple(m.upscale_factor),
+            n_frequencies=m.n_frequencies,
+            enable_absolute_pe=m.enable_absolute_pe,
+            enable_upscale_drop_path=m.enable_upscale_drop_path,
+            use_mask=m.use_mask,
+            temperature=m.temperature,
+            non_leaf_ratio=tuple(m.non_leaf_ratio),
+            mask_sampling_type=m.mask_sampling_type,
+            enable_residual_attribute=m.enable_residual_attribute,
+            mask_pool=get(m, "mask_pool", cls.mask_pool),
+            tile_size=get(tpu, "tile_size", cls.tile_size),
+            max_tiles=get(tpu, "max_tiles", cls.max_tiles),
+            max_per_tile=get(tpu, "max_per_tile", cls.max_per_tile),
+        )
+
+    @property
+    def sh_dim(self) -> int:
+        return 3 * (self.sh_degree + 1) ** 2
+
+    @property
+    def voxel_size(self) -> float:
+        return 2.0 / (self.vol_embedding_reso * 2)
+
+    @property
+    def opacity_shift(self) -> float:
+        return -2.1792
+
+    @property
+    def scaling_shift(self) -> float:
+        return math.log(0.5 * self.voxel_size / 3.0)
+
+    @property
+    def fine_scaling_shift(self) -> float:
+        return math.log(0.5 * self.voxel_size / (8 * 3.0))
+
+    def level_sizes(self) -> list[dict]:
+        """Static per-level point counts of the densification decoder."""
+        sizes = []
+        n = self.k_num
+        n_levels = len(self.dec_channels)
+        for s in range(n_levels):
+            up = n * self.upscale_factor[s]
+            ratio = self.non_leaf_ratio[s] if s < n_levels - 1 else 1.0
+            k = math.ceil(up * ratio) if ratio < 1.0 else up
+            sizes.append(
+                dict(level=s, in_pts=n, up_pts=up, non_leaf=k,
+                     leaf=(up - k) if ratio < 1.0 else up)
+            )
+            n = k
+        return sizes
+
+
+class DensifierStage(nn.Module):
+    """One decoder level: [serialize] -> blocks -> upscale -> mask/head."""
+
+    cfg: NetworkConfig
+    stage: int
+
+    @nn.compact
+    def __call__(self, ps: PointSet, deterministic: bool = True):
+        cfg = self.cfg
+        s = self.stage
+        n_levels = len(cfg.dec_channels)
+        last = s == n_levels - 1
+        out_ch = cfg.dec_channels[s + 1] if not last else cfg.dec_channels[s]
+        ratio = cfg.non_leaf_ratio[s] if not last else 1.0
+        if not cfg.use_mask:
+            ratio = 1.0
+
+        # reversed drop-path schedule (network.py:436-438)
+        total = sum(cfg.dec_depths)
+        dpr = [cfg.drop_path * i / max(total - 1, 1) for i in range(total)][::-1]
+        off = sum(cfg.dec_depths[:s])
+        dpr_s = dpr[off: off + cfg.dec_depths[s]]
+
+        if s == 0 and cfg.enable_ada_lnnorm:
+            ps = GlobalPooling(name="global")(ps)
+
+        shuffle_key = (
+            self.make_rng("shuffle")
+            if (cfg.shuffle_orders and not deterministic and self.has_rng("shuffle"))
+            else None
+        )
+        ps = serialize_pointset(ps, cfg.order, shuffle_key=shuffle_key)
+        ps = compute_neighbor_idx(ps)
+
+        for i in range(cfg.dec_depths[s]):
+            ps = Block(
+                channels=cfg.dec_channels[s],
+                num_heads=cfg.dec_num_head[s],
+                patch_size=cfg.dec_patch_size[s],
+                mlp_ratio=cfg.mlp_ratio,
+                qkv_bias=cfg.qkv_bias,
+                qk_scale=cfg.qk_scale,
+                attn_drop=cfg.attn_drop,
+                proj_drop=cfg.proj_drop,
+                drop_path=dpr_s[i],
+                pre_norm=cfg.pre_norm,
+                order_index=i % len(cfg.order),
+                name=f"block{i}",
+            )(ps, deterministic=deterministic)
+
+        ps = UpscaleModule(
+            in_channels=cfg.dec_channels[s],
+            out_channels=out_ch,
+            upscale_factor=cfg.upscale_factor[s],
+            n_frequencies=cfg.n_frequencies,
+            drop_path=dpr_s[-1] if cfg.enable_upscale_drop_path else 0.0,
+            enable_absolute_pe=cfg.enable_absolute_pe,
+            is_first=(s == 0),
+            carry_attribute=cfg.enable_residual_attribute,
+            name="up",
+        )(ps, deterministic=deterministic)
+
+        if cfg.enable_residual_attribute:
+            # head first, then mask (network.py:542-569)
+            attr = GaussianModule(out_ch, cfg.sh_degree, name="head")(ps.feat)
+            if ps.attribute is not None and s > 0:
+                attr = attr + ps.attribute
+            ps = ps.replace(attribute=attr)
+            ps, split_idx, non_leaf_mask = MaskResModule(
+                out_ch, cfg.temperature, ratio, cfg.mask_sampling_type,
+                name="mask",
+            )(ps)
+            if split_idx is None:
+                non_leaf, leaf = ps, ps
+            else:
+                from ..points.structure import gather_points
+
+                top_idx, rest_idx = split_idx
+                non_leaf = gather_points(ps, top_idx)
+                non_leaf = non_leaf.replace(
+                    mask=jnp.take_along_axis(non_leaf_mask, top_idx, axis=1)
+                )
+                leaf = gather_points(ps, rest_idx)
+                leaf = leaf.replace(
+                    mask=jnp.take_along_axis(
+                        (~non_leaf_mask) & ps.mask, rest_idx, axis=1
+                    )
+                )
+            if not last:
+                # next level serializes at a finer grid (autoencoder.py:1027)
+                non_leaf = non_leaf.replace(
+                    grid_size=non_leaf.grid_size / cfg.stride[s]
+                )
+            return non_leaf, leaf
+        else:
+            non_leaf, leaf = MaskModule(
+                out_ch, cfg.temperature, ratio, cfg.mask_sampling_type,
+                name="mask",
+            )(ps)
+            attr = GaussianModule(out_ch, cfg.sh_degree, name="head")(leaf.feat)
+            leaf = leaf.replace(attribute=attr)
+            if not last:
+                non_leaf = non_leaf.replace(
+                    grid_size=non_leaf.grid_size / cfg.stride[s]
+                )
+            return non_leaf, leaf
+
+
+class Network(nn.Module):
+    """End-to-end coarse + generative-densification model."""
+
+    cfg: NetworkConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.img_encoder = DinoEncoder(cfg.encoder_backbone)
+        self.dir_norm = ModLN(self.img_encoder.num_features)
+        if cfg.view_embed_dim > 0:
+            self.view_embed = self.param(
+                "view_embed",
+                nn.initializers.normal(cfg.view_embed_dim**-0.5),
+                (1, 4, 1, cfg.view_embed_dim),
+            )
+        self.vol_decoder = VolTransformer(
+            embed_dim=cfg.embedding_dim,
+            image_feat_dim=self.img_encoder.num_features + cfg.view_embed_dim,
+            n_groups=cfg.n_groups,
+            vol_low_res=cfg.vol_embedding_reso,
+            out_dim=cfg.vol_embedding_out_dim,
+            num_layers=cfg.num_layers,
+            num_heads=cfg.num_heads,
+        )
+        self.decoder = GaussianDecoder(
+            in_dim=cfg.vol_embedding_out_dim,
+            sh_dim=cfg.sh_dim,
+            K=cfg.K,
+        )
+        self.stages = [
+            DensifierStage(cfg, s, name=f"dec{s}")
+            for s in range(len(cfg.dec_channels))
+        ]
+
+        self.volume_grid = build_dense_grid(cfg.vol_feat_reso, cfg.scene_size)
+        self.group_centers = build_dense_grid(
+            cfg.vol_embedding_reso * 2, cfg.scene_size
+        )
+
+    # ---------------------------------------------------------------- utils
+
+    def _cameras(self, batch, b):
+        """Per-sample batched-over-views Camera."""
+        znear, zfar = batch["near_far"][b, 0], batch["near_far"][b, 1]
+        H, W = batch["tar_rgb"].shape[2:4]
+        return Camera.from_c2w(
+            batch["tar_c2w"][b],
+            batch["fovx"][b],
+            batch["fovy"][b],
+            width=W,
+            height=H,
+            znear=znear,
+            zfar=zfar,
+        )
+
+    def _render_views(self, cams, bgs, centers, shs, opacity_raw, scaling_raw,
+                      rotation_raw, valid, screen_offset=None, screen_abs=None):
+        """vmap the rasterizer over one sample's V views."""
+        cfg = self.cfg
+        opacity = jax.nn.sigmoid(opacity_raw.reshape(-1))
+        opacity = jnp.where(valid, opacity, 0.0)
+        scales = jnp.exp(scaling_raw)
+
+        def one(cam, bg):
+            return rasterize(
+                centers,
+                shs,
+                opacity,
+                scales,
+                rotation_raw,
+                cam,
+                bg,
+                cfg.sh_degree,
+                tile_size=cfg.tile_size,
+                max_tiles=cfg.max_tiles,
+                max_per_tile=cfg.max_per_tile,
+                chunk=cfg.raster_chunk,
+                screen_offset=screen_offset,
+                screen_abs=screen_abs,
+            )
+
+        return jax.vmap(one)(cams, bgs)
+
+    # -------------------------------------------------------------- forward
+
+    def __call__(self, batch, with_fine: bool = True, deterministic: bool = True):
+        cfg = self.cfg
+        B, V_total, H, W, _ = batch["tar_rgb"].shape
+        V = cfg.n_views  # source views
+
+        src = batch["tar_rgb"][:, :V].reshape(B * V, H, W, 3)
+
+        # -- image encoder -> (B*V, h, w, C) token grid
+        tokens = self.img_encoder(src, deterministic)
+        L = tokens.shape[1]
+        token_hw = int(math.isqrt(L))
+        feat_hw = tokens.reshape(B * V, token_hw, token_hw, -1)
+
+        # -- Plücker ray modulation (network.py:708-715)
+        rays_down = batch["tar_rays_down"][:, :V].reshape(
+            B * V, *batch["tar_rays_down"].shape[2:]
+        )
+        plucker = rays_to_plucker(rays_down)
+        cond = jnp.concatenate(
+            [rsh_cart(plucker[..., :3], 3), rsh_cart(plucker[..., 3:6], 3)],
+            axis=-1,
+        )
+        feat_hw = self.dir_norm(feat_hw, cond)
+
+        # -- lift to a 16³ feature volume (network.py:696-723)
+        R = cfg.vol_feat_reso
+        w2cs = batch["tar_w2c"][:, :V].reshape(B * V, 4, 4)
+        ixts = batch["tar_ixt"][:, :V].reshape(B * V, 3, 3)
+        xy, _ = project_points(self.volume_grid, w2cs, ixts)  # (B*V, R³, 2)
+        img_wh = jnp.asarray([W, H], jnp.float32)
+        xy_norm = (xy + 0.5) / img_wh * 2.0 - 1.0
+        # sample the *token* grid: normalized coords index the token map
+        feat_vol = jax.vmap(bilinear_sample)(feat_hw, xy_norm)  # (B*V, R³, C)
+        feat_vol = feat_vol.reshape(B, V, R, R, R, -1)
+
+        if cfg.view_embed_dim > 0:
+            ve = jnp.broadcast_to(
+                self.view_embed[:, :V, None, None, :, :].reshape(
+                    1, V, 1, 1, 1, cfg.view_embed_dim
+                ),
+                (B, V, R, R, R, cfg.view_embed_dim),
+            )
+            feat_vol = jnp.concatenate([feat_vol, ve], axis=-1)
+
+        # -- volume transformer -> (B, 64³, 80)
+        volume_feat = self.vol_decoder(feat_vol)
+
+        # -- coarse Gaussians (network.py:798-811)
+        offset, shs_c, scaling_c, rotation_c, opacity_c = self.decoder.coarse(
+            volume_feat, cfg.opacity_shift, cfg.scaling_shift
+        )
+        half_cell = 0.5 * cfg.scene_size / cfg.n_offset_groups
+        base_centers = jnp.repeat(
+            self.group_centers[:, None, :], cfg.K, axis=1
+        ).reshape(1, -1, 3)
+        centers = base_centers + offset * half_cell  # (B, 64³·K, 3)
+
+        N = centers.shape[1]
+        all_valid = jnp.ones((B, N), bool)
+
+        # -- coarse renders, all V_total views
+        def render_sample(b_idx, gs, screen=None, sabs=None, views=None):
+            cams = self._cameras(batch, b_idx)
+            bgs = batch["bg_color"][b_idx]
+            if views is not None:
+                cams = jax.tree.map(lambda x: x[:views], cams)
+                bgs = bgs[:views]
+            c, s_, o, sc, r, v = gs
+            return self._render_views(cams, bgs, c, s_, o, sc, r, v, screen, sabs)
+
+        coarse_out = []
+        for b in range(B):
+            gs = (
+                centers[b], shs_c[b], opacity_c[b], scaling_c[b],
+                rotation_c[b], all_valid[b],
+            )
+            coarse_out.append(render_sample(b, gs))
+        coarse = jax.tree.map(lambda *xs: jnp.stack(xs), *coarse_out)
+
+        outputs = {
+            "image": _cat_views(coarse.image),
+            "depth": _cat_views(coarse.depth)[..., None],
+            "acc_map": _cat_views(coarse.alpha),
+            "overflow": coarse.overflow,
+        }
+        render_pkg = [
+            (centers, shs_c, opacity_c, scaling_c, rotation_c)
+        ]
+
+        if not with_fine:
+            outputs["render_pkg"] = render_pkg
+            return outputs
+
+        # ================= fine stage =================
+        opacity_act = jax.nn.sigmoid(opacity_c[..., 0])
+        opacity_ok = opacity_act > 0.005                          # (B, N)
+
+        # -- gradient-guided selection (network.py:842-896)
+        sel_scores = []
+        for b in range(B):
+            gt = batch["tar_rgb"][b, :V]
+
+            def sel_loss(screen, sabs, b=b, gt=gt):
+                gs = (
+                    jax.lax.stop_gradient(centers[b]),
+                    jax.lax.stop_gradient(shs_c[b]),
+                    jax.lax.stop_gradient(opacity_c[b]),
+                    jax.lax.stop_gradient(scaling_c[b]),
+                    jax.lax.stop_gradient(rotation_c[b]),
+                    all_valid[b],
+                )
+                out = render_sample(b, gs, screen, sabs, views=V)
+                return jnp.mean((out.image - gt) ** 2)
+
+            zeros = jnp.zeros((N, 2), jnp.float32)
+            _, g_abs = jax.grad(sel_loss, argnums=(0, 1))(zeros, zeros)
+            sel_scores.append(jnp.linalg.norm(g_abs, axis=-1))
+        sel_score = jax.lax.stop_gradient(jnp.stack(sel_scores))  # (B, N)
+
+        # -- static opacity pool: top mask_pool by opacity (stands in for
+        #    the boolean opacity mask, exact when pool >= true mask count)
+        M = cfg.mask_pool
+        pool_idx = topk_split(
+            jax.lax.stop_gradient(opacity_act), jnp.ones_like(opacity_ok), M
+        )[0]
+        take2 = lambda a: jnp.take_along_axis(a, pool_idx[..., None], axis=1)
+        take1 = lambda a: jnp.take_along_axis(a, pool_idx, axis=1)
+        pool_valid = take1(opacity_ok)
+        pool_centers = take2(centers)
+        pool_score = jnp.where(pool_valid, take1(sel_score), -1.0)
+
+        # -- per-view point features + fine head (network.py:734-754, 898-906)
+        point_feats = []
+        for b in range(B):
+            pf = self._point_feats(
+                batch, b, V, pool_centers[b],
+                coarse.image[b, :V], coarse.alpha[b, :V], coarse.depth[b, :V],
+            )
+            point_feats.append(pf)
+        point_feats = jnp.stack(point_feats)          # (B, M, V, 8)
+
+        pool_vol_feat = take2(volume_feat)            # (B, M, 80)
+        fine_feat, sh_res = self.decoder.fine(pool_vol_feat, point_feats)
+        pool_shs = take2(shs_c.reshape(B, N, -1)).reshape(B, M, -1, 3)
+        fine_shs = sh_res.reshape(B, M, -1, 3) + pool_shs
+        features160 = jnp.concatenate([fine_feat, pool_vol_feat], axis=-1)
+
+        # -- split pool into selected (to densifier) and remainder
+        k = cfg.k_num
+        sel_idx, rest_idx, sel_ok, rest_ok = topk_split(pool_score, pool_valid, k)
+        tsel2 = lambda a: jnp.take_along_axis(a, sel_idx[..., None], axis=1)
+        trest2 = lambda a: jnp.take_along_axis(a, rest_idx[..., None], axis=1)
+
+        sel_centers = tsel2(pool_centers)
+        sel_feats = tsel2(features160)
+        if cfg.enable_residual_attribute:
+            ps = PointSet(
+                coord=sel_centers * 2.0,
+                feat=sel_feats,
+                mask=sel_ok,
+                grid_size=cfg.voxel_size,
+            )
+        else:
+            ps = PointSet(
+                coord=sel_centers,
+                feat=sel_feats,
+                mask=sel_ok,
+                grid_size=0.5 * cfg.voxel_size,
+            )
+
+        # -- densification decoder levels
+        leaves = []
+        for stage in self.stages:
+            ps, leaf = stage(ps, deterministic=deterministic)
+            leaves.append(leaf)
+
+        # -- union decoder leaves (network.py:947-959, :601-624)
+        xyz_u, sh_u, op_u, sc_u, rot_u, ok_u = [], [], [], [], [], []
+        for leaf in leaves:
+            sh, op, sc, rot = split_attributes(leaf.attribute, cfg.sh_degree)
+            coords = leaf.coord / 2.0 if cfg.enable_residual_attribute else leaf.coord
+            xyz_u.append(coords)
+            sh_u.append(sh)
+            op_u.append(op + cfg.opacity_shift)
+            sc_u.append(sc + cfg.fine_scaling_shift)
+            rot_u.append(rot)
+            ok_u.append(leaf.mask)
+
+        # -- non-selected pool remainder keeps coarse attrs + fine SH
+        xyz_u.append(trest2(pool_centers))
+        sh_u.append(trest2(fine_shs.reshape(B, M, -1)))
+        op_u.append(trest2(take2(opacity_c)))
+        sc_u.append(trest2(take2(scaling_c)))
+        rot_u.append(trest2(take2(rotation_c)))
+        ok_u.append(rest_ok)
+
+        fine_centers = jnp.concatenate(xyz_u, axis=1)
+        fine_sh = jnp.concatenate(
+            [s.reshape(B, s.shape[1], -1) for s in sh_u], axis=1
+        )
+        fine_op = jnp.concatenate(op_u, axis=1)
+        fine_sc = jnp.concatenate(sc_u, axis=1)
+        fine_rot = jnp.concatenate(rot_u, axis=1)
+        fine_ok = jnp.concatenate(ok_u, axis=1)
+
+        fine_out = []
+        for b in range(B):
+            gs = (
+                fine_centers[b],
+                fine_sh[b].reshape(fine_sh.shape[1], -1, 3),
+                fine_op[b],
+                fine_sc[b],
+                fine_rot[b],
+                fine_ok[b],
+            )
+            fine_out.append(render_sample(b, gs))
+        fine = jax.tree.map(lambda *xs: jnp.stack(xs), *fine_out)
+
+        outputs.update(
+            {
+                "image_fine": _cat_views(fine.image),
+                "depth_fine": _cat_views(fine.depth)[..., None],
+                "acc_map_fine": _cat_views(fine.alpha),
+            }
+        )
+        render_pkg.append(
+            (fine_centers, fine_sh, fine_op, fine_sc, fine_rot, fine_ok)
+        )
+        outputs["render_pkg"] = render_pkg
+        return outputs
+
+    def _point_feats(self, batch, b, V, points, imgs, accs, depths):
+        """8-channel per-view point features (network.py:734-754):
+        [src RGB(3), render RGB(3), acc(1), |render_depth - point_z|(1)]."""
+        w2cs = batch["tar_w2c"][b, :V]
+        ixts = batch["tar_ixt"][b, :V]
+        H, W = imgs.shape[1:3]
+        xy, z = project_points(points, w2cs, ixts)     # (V, M, 2), (V, M, 1)
+        img_wh = jnp.asarray([W, H], jnp.float32)
+        xy_norm = (xy + 0.5) / img_wh * 2.0 - 1.0
+
+        src = batch["tar_rgb"][b, :V]                  # (V, H, W, 3)
+        stacked = jnp.concatenate(
+            [src, imgs, accs[..., None], depths[..., None]], axis=-1
+        )                                              # (V, H, W, 8)
+        sampled = jax.vmap(bilinear_sample)(stacked, xy_norm)  # (V, M, 8)
+        z_diff = jnp.abs(sampled[..., 7:8] - z)
+        feats = jnp.concatenate([sampled[..., :7], z_diff], axis=-1)
+        return feats.transpose(1, 0, 2)                # (M, V, 8)
+
+
+def _cat_views(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, V, H, W[, C]) -> (B, H, V*W[, C]) — the reference's width-concat
+    output layout (network.py:974-978)."""
+    if x.ndim == 5:
+        B, V, H, W, C = x.shape
+        return x.transpose(0, 2, 1, 3, 4).reshape(B, H, V * W, C)
+    B, V, H, W = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(B, H, V * W)

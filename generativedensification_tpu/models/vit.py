@@ -115,6 +115,8 @@ class DinoEncoder(nn.Module):
             dim, depth, heads = 768, 12, 12
         elif "vit_small" in self.variant:
             dim, depth, heads = 384, 12, 6
+        elif "tiny_test" in self.variant:  # CPU-test stub
+            dim, depth, heads = 32, 1, 2
         else:
             raise NotImplementedError(f"unknown ViT variant {self.variant!r}")
         mean = jnp.asarray(DINO_MEAN)
@@ -127,4 +129,6 @@ class DinoEncoder(nn.Module):
 
     @property
     def num_features(self) -> int:
+        if "tiny_test" in self.variant:
+            return 32
         return 384 if "vit_small" in self.variant else 768

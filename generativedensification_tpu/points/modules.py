@@ -354,9 +354,9 @@ class MaskResModule(nn.Module):
     mask_sampling_type: str = "topk"
 
     @nn.compact
-    def __call__(self, ps: PointSet) -> tuple[PointSet, jnp.ndarray | None]:
+    def __call__(self, ps: PointSet):
         if self.non_leaf_ratio >= 1.0:
-            return ps, None
+            return ps, None, None
         if self.mask_sampling_type != "topk":
             raise NotImplementedError("topk only (static shapes)")
         B, N, _ = ps.feat.shape
@@ -366,13 +366,13 @@ class MaskResModule(nn.Module):
         prob = masked_softmax(raw / self.temperature, ps.mask, axis=1)
 
         k = int(-(-N * self.non_leaf_ratio // 1))
-        top_idx, _, _, _ = topk_split(prob, ps.mask, k)
+        top_idx, rest_idx, _, _ = topk_split(prob, ps.mask, k)
         non_leaf_mask = jnp.zeros((B, N), bool).at[
             jnp.arange(B)[:, None], top_idx
         ].set(True) & ps.mask
         feat = straight_through_res(ps.feat, prob, non_leaf_mask)
         ps = ps.replace(feat=feat, prob=prob)
-        return ps, non_leaf_mask
+        return ps, (top_idx, rest_idx), non_leaf_mask
 
 
 class GaussianModule(nn.Module):

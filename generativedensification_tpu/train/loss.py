@@ -1,0 +1,140 @@
+"""Training losses: MSE + MS-SSIM (+ 2DGS regularizers), pure jnp.
+
+Parity with ``lightning/loss.py:8-63``:
+  * per prefix ('', '_fine'): MSE + 0.5 * (1 - MS_SSIM),
+  * MS-SSIM follows pytorch_msssim (gaussian win 11 σ1.5, K=(0.01, 0.03),
+    valid padding, 5 scales with the standard weights, ReLU-clamped cs),
+    computed in f32 (the reference forces fp32 under autocast, :45-48),
+  * 2DGS extras when ``rend_dist`` is present, iter > 1000, coarse only:
+    +1000·distortion + 0.2·normal error (:50-61).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_MSSSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
+
+
+def _gaussian_window(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
+    x = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
+    g = jnp.exp(-(x**2) / (2 * sigma**2))
+    return g / g.sum()
+
+
+def _blur(x: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
+    """Separable valid-padding gaussian filter, NHWC, per channel."""
+    C = x.shape[-1]
+    k = win.shape[0]
+    kern_h = jnp.tile(win.reshape(1, k, 1, 1, 1), (1, 1, 1, 1, C)).reshape(k, 1, 1, C)
+    kern_w = jnp.tile(win.reshape(k, 1, 1, 1, 1), (1, 1, 1, 1, C)).reshape(1, k, 1, C)
+    dn = jax.lax.conv_dimension_numbers(x.shape, (k, 1, 1, C), ("NHWC", "HWIO", "NHWC"))
+    x = jax.lax.conv_general_dilated(
+        x, kern_h, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=C
+    )
+    dn = jax.lax.conv_dimension_numbers(x.shape, (1, k, 1, C), ("NHWC", "HWIO", "NHWC"))
+    x = jax.lax.conv_general_dilated(
+        x, kern_w, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=C
+    )
+    return x
+
+
+def _ssim_and_cs(img1, img2, data_range=1.0, win_size=11, k=(0.01, 0.03)):
+    """Mean SSIM and contrast sensitivity over an NHWC batch."""
+    img1 = img1.astype(jnp.float32)
+    img2 = img2.astype(jnp.float32)
+    C1 = (k[0] * data_range) ** 2
+    C2 = (k[1] * data_range) ** 2
+    win = _gaussian_window(win_size)
+
+    mu1 = _blur(img1, win)
+    mu2 = _blur(img2, win)
+    mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    sigma1 = _blur(img1 * img1, win) - mu1_sq
+    sigma2 = _blur(img2 * img2, win) - mu2_sq
+    sigma12 = _blur(img1 * img2, win) - mu12
+
+    cs_map = (2 * sigma12 + C2) / (sigma1 + sigma2 + C2)
+    ssim_map = ((2 * mu12 + C1) / (mu1_sq + mu2_sq + C1)) * cs_map
+    return ssim_map.mean(), cs_map.mean()
+
+
+def ssim(img1: jnp.ndarray, img2: jnp.ndarray, data_range: float = 1.0) -> jnp.ndarray:
+    """Single-scale SSIM, NHWC in [0, data_range] (pytorch_msssim.ssim)."""
+    return _ssim_and_cs(img1, img2, data_range)[0]
+
+
+def _downsample2(x: jnp.ndarray) -> jnp.ndarray:
+    """avg_pool 2x2 stride 2, zero-padded to even (pytorch_msssim)."""
+    B, H, W, C = x.shape
+    ph, pw = H % 2, W % 2
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+    x = x.reshape(B, (H + ph) // 2, 2, (W + pw) // 2, 2, C)
+    return x.mean(axis=(2, 4))
+
+
+def ms_ssim(
+    img1: jnp.ndarray,
+    img2: jnp.ndarray,
+    data_range: float = 1.0,
+    weights: tuple = _MSSSIM_WEIGHTS,
+) -> jnp.ndarray:
+    """Multi-scale SSIM (NHWC).  Needs min(H, W) > 10 * 2^(levels-1)."""
+    levels = len(weights)
+    w = jnp.asarray(weights, jnp.float32)
+    vals = []
+    for i in range(levels):
+        s, cs = _ssim_and_cs(img1, img2, data_range)
+        vals.append(s if i == levels - 1 else cs)
+        if i < levels - 1:
+            img1 = _downsample2(img1)
+            img2 = _downsample2(img2)
+    vals = jnp.stack([jax.nn.relu(v) for v in vals])
+    return jnp.prod(vals**w)
+
+
+def psnr(mse: jnp.ndarray) -> jnp.ndarray:
+    return -10.0 * jnp.log(mse) / jnp.log(10.0)
+
+
+class Losses:
+    """``Losses()(batch, output, step)`` -> (loss, scalar_stats)."""
+
+    def __init__(self, ssim_levels: int = 5):
+        self.weights = _MSSSIM_WEIGHTS[:ssim_levels]
+
+    def __call__(self, batch, output, step):
+        stats = {}
+        loss = 0.0
+        B, V, H, W, _ = batch["tar_rgb"].shape
+        tar = batch["tar_rgb"].transpose(0, 2, 1, 3, 4).reshape(B, H, V * W, 3)
+
+        for prex in ("", "_fine"):
+            if f"acc_map{prex}" not in output:
+                continue
+            err = (output[f"image{prex}"] - tar) ** 2
+            mse = err.mean()
+            loss = loss + mse
+            stats[f"mse{prex}"] = jax.lax.stop_gradient(mse)
+            stats[f"psnr{prex}"] = jax.lax.stop_gradient(psnr(mse))
+
+            s = ms_ssim(
+                output[f"image{prex}"], tar, weights=self.weights
+            )
+            stats[f"ssim{prex}"] = jax.lax.stop_gradient(s)
+            loss = loss + 0.5 * (1.0 - s)
+
+            if f"rend_dist{prex}" in output and prex == "":
+                active = (step > 1000).astype(jnp.float32)
+                dist = output[f"rend_dist{prex}"].mean()
+                stats[f"distortion{prex}"] = jax.lax.stop_gradient(dist)
+                rn = output[f"rend_normal{prex}"]
+                dn = output[f"depth_normal{prex}"]
+                acc = jax.lax.stop_gradient(output[f"acc_map{prex}"])
+                nerr = ((1.0 - (rn * dn).sum(-1)) * acc).mean()
+                stats[f"normal{prex}"] = jax.lax.stop_gradient(nerr)
+                loss = loss + active * (1000.0 * dist + 0.2 * nerr)
+
+        return loss, stats

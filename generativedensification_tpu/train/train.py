@@ -1,0 +1,139 @@
+"""Training entry point — reference ``train_lightning.py`` equivalent.
+
+Same config surface (base yaml + dotted CLI overrides), same schedule
+semantics (epochs, limit_train_batches, val every epoch, checkpoint every
+2 epochs keep-all), TPU-native execution: one jitted train step over a
+data-parallel mesh, params replicated, batch sharded, orbax checkpoints,
+TensorBoard scalars.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import load_config
+from ..data import BatchLoader, dataset_dict
+from ..data.pipeline import to_device_batch
+from ..models.network import Network, NetworkConfig
+from ..parallel.mesh import make_mesh, replicate, shard_batch
+from .loss import Losses
+from .optim import make_optimizer
+from .state import TrainState, create_train_state, restore_checkpoint, save_checkpoint
+from .step import make_eval_step, make_train_step
+
+
+def main(cfg):
+    t_start = time.time()
+    mesh = make_mesh(min(len(cfg.gpu_id), len(jax.devices())))
+    n_dev = mesh.devices.size
+    print(f"[train] mesh: {n_dev} device(s) on axis 'data'")
+
+    train_ds = dataset_dict[cfg.train_dataset.dataset_name](cfg.train_dataset)
+    val_ds = dataset_dict[cfg.test_dataset.dataset_name](cfg.test_dataset)
+    global_batch = cfg.train.batch_size * n_dev
+    train_loader = BatchLoader(
+        train_ds, global_batch, shuffle=True,
+        epoch_fraction=cfg.train.limit_train_batches,
+    )
+    val_loader = BatchLoader(
+        val_ds, global_batch, shuffle=False,
+        epoch_fraction=cfg.train.limit_val_batches,
+    )
+
+    net_cfg = NetworkConfig.from_config(cfg)
+    net = Network(net_cfg)
+    losses = Losses()
+
+    sample = to_device_batch(next(iter(train_loader)))
+    with_fine = cfg.train.start_fine < 0
+    params = net.init(
+        {"params": jax.random.PRNGKey(cfg.tpu.seed)}, sample, with_fine=True
+    )
+    n_params = sum(np.prod(p.shape) for p in jax.tree.leaves(params))
+    print(f"[train] {n_params/1e6:.1f}M parameters")
+
+    tx, schedule = make_optimizer(
+        params,
+        lr=cfg.train.lr,
+        beta1=cfg.train.beta1,
+        beta2=cfg.train.beta2,
+        weight_decay=cfg.train.weight_decay,
+        warmup_iters=cfg.train.warmup_iters,
+        grad_clip=cfg.train.get("gradient_clip_val", 0.5),
+        accumulate=cfg.train.get("accumulate_grad_batches", 1),
+    )
+    state = create_train_state(params, tx, seed=cfg.tpu.seed)
+    state = replicate(state, mesh)
+
+    ckpt_dir = os.path.join(cfg.logger.dir, cfg.exp_name, "ckpts")
+    if cfg.model.ckpt_path:
+        state = restore_checkpoint(cfg.model.ckpt_path, state)
+        print(f"[train] resumed from {cfg.model.ckpt_path} @ step {int(state.step)}")
+
+    train_step = make_train_step(net, tx, losses, with_fine=with_fine)
+    eval_step = make_eval_step(net, losses, with_fine=True)
+
+    try:
+        from tensorboardX import SummaryWriter
+
+        tb = SummaryWriter(os.path.join(cfg.logger.dir, cfg.exp_name, "tb"))
+    except Exception:
+        tb = None
+
+    step = int(state.step)
+    for epoch in range(cfg.train.n_epoch):
+        for batch_np in train_loader:
+            batch = shard_batch(to_device_batch(batch_np), mesh)
+            state, stats = train_step(state, batch)
+            step += 1
+            if step % 20 == 0:
+                s = {k: float(v) for k, v in stats.items()}
+                s["lr"] = float(schedule(jnp.asarray(step)))
+                msg = " ".join(f"{k}={v:.4g}" for k, v in sorted(s.items()))
+                print(f"[epoch {epoch} step {step}] {msg}", flush=True)
+                if tb:
+                    for k, v in s.items():
+                        tb.add_scalar(f"train/{k}", v, step)
+
+        # validation (metric mean across the val slice)
+        if (epoch + 1) % cfg.train.check_val_every_n_epoch == 0:
+            accum, n = {}, 0
+            for batch_np in val_loader:
+                batch = shard_batch(to_device_batch(batch_np), mesh)
+                _, stats = eval_step(state.params, batch)
+                for k, v in stats.items():
+                    accum[k] = accum.get(k, 0.0) + float(v)
+                n += 1
+            if n:
+                means = {k: v / n for k, v in accum.items()}
+                print(f"[val epoch {epoch}] " + " ".join(
+                    f"{k}={v:.4g}" for k, v in sorted(means.items())
+                ), flush=True)
+                if tb:
+                    for k, v in means.items():
+                        tb.add_scalar(f"val/{k}", v, step)
+
+        if (epoch + 1) % 2 == 0 or epoch == cfg.train.n_epoch - 1:
+            save_checkpoint(ckpt_dir, jax.device_get(state), step)
+            print(f"[train] checkpoint @ step {step} -> {ckpt_dir}")
+
+    print(f"[train] done in {(time.time() - t_start)/60:.1f} min")
+    return state
+
+
+def cli():
+    args = sys.argv[1:]
+    yamls = [a for a in args if a.endswith((".yaml", ".yml"))]
+    overrides = [a for a in args if "=" in a and not a.endswith((".yaml", ".yml"))]
+    cfg = load_config(yamls, overrides)
+    main(cfg)
+
+
+if __name__ == "__main__":
+    cli()

@@ -118,10 +118,12 @@ class TestRays:
         full = np.asarray(build_rays(jnp.asarray(c2w), jnp.asarray(ixt), H, W))
         down = np.asarray(build_rays(jnp.asarray(c2w), jnp.asarray(ixt), H, W, 0.25))
         assert down.shape == (1, 8, 8, 6)
-        # down pixel (i,j) center covers full pixels 4i..4i+3; directions avg ~ equal
+        # direction is affine in pixel coords: down pixel (0,0) center maps to
+        # full-res coordinate (2, 2) = midpoint of full pixels (1,1) and (2,2)
         np.testing.assert_allclose(
-            down[0, 0, 0, 3:] * 0.25, full[0, :4, :4, 3:].mean((0, 1)),
-            rtol=0, atol=2e-2 * np.abs(full[0, :4, :4, 3:]).max(),
+            down[0, 0, 0, 3:],
+            (full[0, 1, 1, 3:] + full[0, 2, 2, 3:]) / 2,
+            atol=1e-6,
         )
 
 

@@ -1,0 +1,11 @@
+#!/usr/bin/env python
+"""CLI: python train.py [config.yaml ...] [key=value ...]
+
+Reference-compatible surface (``train_lightning.py``): defaults mirror
+configs/base.yaml; dotted overrides win.
+"""
+
+from generativedensification_tpu.train.train import cli
+
+if __name__ == "__main__":
+    cli()
