@@ -1,0 +1,355 @@
+"""2DGS surfel rasterizer (the ``diff-surfel-rasterization`` replacement).
+
+Each primitive is a planar (rank-2) Gaussian disk: center p, tangent axes
+``sx·t_u``, ``sy·t_v`` (rotation columns), normal ``t_w``.  A pixel's value
+comes from the exact ray–plane intersection expressed in splat-local (u, v)
+coordinates via the homogeneous 3x3 map ``M: (u, v, 1) -> (x·w, y·w, w)``
+(the 2DGS paper's h_u/h_v plane construction): for pixel (x, y),
+
+    h_u = x·M[2] - M[0],   h_v = y·M[2] - M[1],   (u, v, 1) ∝ h_u × h_v.
+
+Outputs mirror the reference call site (``lightning/renderer_2dgs.py:224-257``):
+image, alpha, expected depth, *median* depth (depth at the T=0.5 crossing),
+view-space normal map, and the per-pixel distortion accumulator used by the
+2DGS regularizers (``loss.py:50-61``).
+
+Differentiation: compositing runs as a rematerialized ``lax.scan`` and is
+differentiated by autodiff (the 3DGS path has the hand-written VJP; this
+variant trades a recompute for simplicity — swap-in kernel parity tracked
+in splat/pallas notes).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..core.sh import eval_sh_color
+from ..core.transforms import normalize_quat, quat_to_rotmat
+from .binning import TileBins, bin_gaussians
+from .composite import _tile_pixel_coords, _untile
+from .projection import ProjectedGaussians
+
+ALPHA_MAX = 0.99
+ALPHA_MIN = 1.0 / 255.0
+T_EPS = 1e-4
+NEAR_CULL = 0.2
+# 2DGS object-space/screen-space filter blend (2D low-pass sigma in px)
+FILTER_2D_VAR = 2.0
+
+
+@struct.dataclass
+class SurfelOutput:
+    image: jnp.ndarray        # (H, W, 3)
+    alpha: jnp.ndarray        # (H, W)
+    depth_expected: jnp.ndarray  # (H, W) alpha-weighted mean depth (÷ alpha)
+    depth_median: jnp.ndarray    # (H, W) depth at the T=0.5 crossing
+    normal: jnp.ndarray       # (H, W, 3) view-space normal (alpha-weighted)
+    dist: jnp.ndarray         # (H, W) distortion accumulator
+    radii: jnp.ndarray        # (N,)
+    overflow: jnp.ndarray
+
+
+def _surfel_setup(means3d, scales2d, rotations, opacity, shs, camera, sh_degree):
+    """Per-surfel screen maps + culling. Returns (M (N,3,3), normal_view,
+    center_xy, center_depth, color, radius, valid)."""
+    f32 = jnp.float32
+    N = means3d.shape[0]
+    R = quat_to_rotmat(normalize_quat(rotations.astype(f32)))  # (N, 3, 3)
+    t_u = R[..., :, 0] * scales2d[..., 0:1]
+    t_v = R[..., :, 1] * scales2d[..., 1:2]
+    normal_w = R[..., :, 2]
+
+    wvt = camera.world_view_transform  # (4,4), row-vector w2c.T
+    Rv = wvt[:3, :3]                   # world->view rotation (as right-mult)
+    tv = wvt[3, :3]
+
+    def to_view(p):
+        return p @ Rv + tv
+
+    def rot_view(d):
+        return d @ Rv
+
+    p_view = to_view(means3d.astype(f32))           # (N, 3)
+    tu_view = rot_view(t_u)
+    tv_view = rot_view(t_v)
+    n_view = rot_view(normal_w)
+    # flip normals toward the camera
+    flip = jnp.sign(jnp.sum(n_view * p_view, axis=-1, keepdims=True))
+    n_view = -flip * n_view
+
+    fx, fy = camera.focal_x, camera.focal_y
+    cx = (camera.width - 1.0) / 2.0
+    cy = (camera.height - 1.0) / 2.0
+
+    def pix_row(v):
+        """view-space point/dir -> pixel-homogeneous rows (x·w, y·w, w)."""
+        return jnp.stack(
+            [
+                fx * v[..., 0] + cx * v[..., 2],
+                fy * v[..., 1] + cy * v[..., 2],
+                v[..., 2],
+            ],
+            axis=-1,
+        )
+
+    # M columns are the images of (1,0,0)=t_u, (0,1,0)=t_v, (0,0,1)=center,
+    # so rows of M are the (x, y, w) linear forms over (u, v, 1).
+    M = jnp.stack([pix_row(tu_view), pix_row(tv_view), pix_row(p_view)], axis=-1)
+
+    depth = p_view[..., 2]
+    w = jnp.maximum(depth, 1e-6)
+    center_xy = jnp.stack(
+        [fx * p_view[..., 0] / w + cx, fy * p_view[..., 1] / w + cy], axis=-1
+    )
+
+    # conservative screen radius: project the four ±3σ axis endpoints
+    ends = jnp.stack(
+        [
+            p_view + 3.0 * tu_view,
+            p_view - 3.0 * tu_view,
+            p_view + 3.0 * tv_view,
+            p_view - 3.0 * tv_view,
+        ],
+        axis=1,
+    )  # (N, 4, 3)
+    ze = jnp.maximum(ends[..., 2], 1e-6)
+    exy = jnp.stack(
+        [fx * ends[..., 0] / ze + cx, fy * ends[..., 1] / ze + cy], axis=-1
+    )
+    radius = jnp.max(jnp.linalg.norm(exy - center_xy[:, None], axis=-1), axis=1)
+    radius = jnp.ceil(radius + 3.0 * jnp.sqrt(FILTER_2D_VAR))
+
+    valid = (depth > NEAR_CULL) & (jnp.min(ends[..., 2], axis=1) > 0.05)
+    on_screen = (
+        (center_xy[..., 0] + radius > 0)
+        & (center_xy[..., 0] - radius < camera.width)
+        & (center_xy[..., 1] + radius > 0)
+        & (center_xy[..., 1] - radius < camera.height)
+    )
+    valid = valid & on_screen
+
+    color = eval_sh_color(
+        shs.astype(f32), means3d - camera.camera_center, sh_degree
+    )
+    return M, n_view, center_xy, depth, color, jnp.where(valid, radius, 0.0), valid
+
+
+def rasterize_surfels(
+    means3d,
+    shs,
+    opacities,
+    scales2d,
+    rotations,
+    camera,
+    bg,
+    sh_degree: int = 1,
+    tile_size: int = 32,
+    max_tiles: int = 16,
+    max_per_tile: int = 4096,
+    chunk: int = 32,
+) -> SurfelOutput:
+    """Differentiably splat N activated surfels into one camera."""
+    H, W = camera.height, camera.width
+    N = means3d.shape[0]
+    max_per_tile = min(max_per_tile, N * max_tiles)
+    znear, zfar = camera.znear, camera.zfar
+
+    M, n_view, xy, depth, color, radius, valid = _surfel_setup(
+        means3d, scales2d, rotations, opacities, shs, camera, sh_degree
+    )
+    proj = ProjectedGaussians(
+        xy=xy, depth=depth, conic=jnp.zeros_like(n_view), color=color,
+        opacity=opacities.astype(jnp.float32), radius=radius, valid=valid,
+    )
+    bins = bin_gaussians(proj, H, W, tile_size=tile_size, max_tiles=max_tiles)
+
+    ids = bins.sorted_ids
+    sM = jnp.take(M.reshape(N, 9), ids, axis=0)
+    s_xy = jnp.take(xy, ids, axis=0)
+    s_color = jnp.take(color, ids, axis=0)
+    s_opa = jnp.take(jnp.where(valid, proj.opacity, 0.0), ids, axis=0)
+    s_depth = jnp.take(depth, ids, axis=0)
+    s_norm = jnp.take(n_view, ids, axis=0)
+    s_ok = bins.sorted_valid
+
+    tiles_x, tiles_y, ts = bins.tiles_x, bins.tiles_y, tile_size
+    num_tiles = tiles_x * tiles_y
+    npix = ts * ts
+    n_chunks = -(-max_per_tile // chunk)
+    X, Y = _tile_pixel_coords(tiles_x, tiles_y, ts)
+    P = sM.shape[0]
+    starts, counts = bins.tile_starts, bins.tile_counts
+
+    # distortion depth mapping: m = far/(far-near) * (1 - near/z)
+    def map_depth(z):
+        return zfar / (zfar - znear) * (1.0 - znear / jnp.maximum(z, 1e-6))
+
+    def step(carry, c):
+        (T, C, Dexp, Dmed, Nacc, m1, m2, dist) = carry
+        base = starts[:, None] + c * chunk + jnp.arange(chunk, dtype=jnp.int32)[None, :]
+        in_range = (base - starts[:, None]) < counts[:, None]
+        idx = jnp.clip(base, 0, P - 1)
+        gM = jnp.take(sM, idx.reshape(-1), axis=0).reshape(*idx.shape, 3, 3)
+        gxy = jnp.take(s_xy, idx.reshape(-1), axis=0).reshape(*idx.shape, 2)
+        gcol = jnp.take(s_color, idx.reshape(-1), axis=0).reshape(*idx.shape, 3)
+        gopa = jnp.take(s_opa, idx.reshape(-1), axis=0).reshape(idx.shape)
+        gdep = jnp.take(s_depth, idx.reshape(-1), axis=0).reshape(idx.shape)
+        gnrm = jnp.take(s_norm, idx.reshape(-1), axis=0).reshape(*idx.shape, 3)
+        gok = jnp.take(s_ok, idx.reshape(-1), axis=0).reshape(idx.shape) & in_range
+
+        # ray-splat intersection per (slot, pixel)
+        # h_u = x*M[2] - M[0]; h_v = y*M[2] - M[1]
+        Mx = gM[..., 0, :][..., None, :]   # (T,K,1,3)
+        My = gM[..., 1, :][..., None, :]
+        Mw = gM[..., 2, :][..., None, :]
+        xs = X[:, None, :, None]           # (T,1,npix,1)
+        ys = Y[:, None, :, None]
+        hu = xs * Mw - Mx                  # (T,K,npix,3)
+        hv = ys * Mw - My
+        cr = jnp.cross(hu, hv)
+        denom = cr[..., 2]
+        safe = jnp.where(jnp.abs(denom) < 1e-8, 1e-8, denom)
+        u = cr[..., 0] / safe
+        v = cr[..., 1] / safe
+        g3d = -0.5 * (u * u + v * v)
+        # screen-space low-pass (2D filter around the projected center)
+        dx = X[:, None, :] - gxy[..., 0][..., None]
+        dy = Y[:, None, :] - gxy[..., 1][..., None]
+        g2d = -0.5 * (dx * dx + dy * dy) / FILTER_2D_VAR
+        power = jnp.maximum(g3d, g2d)
+        # intersection depth: z = dot(Mw_view-row?, ...) — use center depth +
+        # planar variation via w row of M evaluated at (u, v, 1)
+        zhit = (
+            gM[..., 2, 0][..., None] * u
+            + gM[..., 2, 1][..., None] * v
+            + gM[..., 2, 2][..., None]
+        )
+        alpha = jnp.minimum(ALPHA_MAX, gopa[..., None] * jnp.exp(power))
+        ok = (power <= 0.0) & (alpha >= ALPHA_MIN) & gok[..., None] & (zhit > NEAR_CULL)
+        alpha = jnp.where(ok, alpha, 0.0)
+
+        one_m = 1.0 - alpha
+        cum = jnp.cumprod(one_m, axis=1)
+        T_exc = jnp.concatenate([jnp.ones_like(cum[:, :1]), cum[:, :-1]], axis=1)
+        T_exc = T_exc * T[:, None, :]
+        U = T_exc * one_m
+        include = (U >= T_EPS).astype(alpha.dtype)
+        w = alpha * T_exc * include        # (T,K,npix)
+
+        m = map_depth(zhit)
+        # incremental distortion (2DGS): for each slot i front-to-back,
+        #   dist += w_i * (m_i^2 * A_<i + M2_<i - 2 m_i * M1_<i)
+        # where A/M1/M2 are running sums of w, w*m, w*m^2 before i.
+        # A_<i = 1 - T_exc_i (total composited weight so far).
+        wm = w * m
+        wm2 = w * m * m
+        m1_prefix = m1[:, None, :] + jnp.cumsum(wm, axis=1) - wm
+        m2_prefix = m2[:, None, :] + jnp.cumsum(wm2, axis=1) - wm2
+        a_prefix = 1.0 - T_exc
+        dist_add = w * (m * m * a_prefix + m2_prefix - 2.0 * m * m1_prefix)
+
+        C = C + jnp.einsum("tkp,tkc->tpc", w, gcol,
+                           precision=jax.lax.Precision.HIGHEST)
+        Dexp = Dexp + jnp.sum(w * zhit, axis=1)
+        Nacc = Nacc + jnp.einsum("tkp,tkc->tpc", w, gnrm,
+                                 precision=jax.lax.Precision.HIGHEST)
+        dist = dist + jnp.sum(dist_add, axis=1)
+        m1 = m1 + jnp.sum(wm, axis=1)
+        m2 = m2 + jnp.sum(wm2, axis=1)
+
+        # median depth: first slot where transmittance after crosses 0.5
+        crossed = (T_exc > 0.5) & (U < 0.5) & (alpha > 0)
+        zmed = jnp.where(crossed, zhit, 0.0).sum(axis=1)
+        any_cross = crossed.any(axis=1)
+        Dmed = jnp.where((Dmed == 0.0) & any_cross, zmed, Dmed)
+
+        T = T * jnp.prod(1.0 - alpha * include, axis=1)
+        return (T, C, Dexp, Dmed, Nacc, m1, m2, dist), None
+
+    init = (
+        jnp.ones((num_tiles, npix), jnp.float32),
+        jnp.zeros((num_tiles, npix, 3), jnp.float32),
+        jnp.zeros((num_tiles, npix), jnp.float32),
+        jnp.zeros((num_tiles, npix), jnp.float32),
+        jnp.zeros((num_tiles, npix, 3), jnp.float32),
+        jnp.zeros((num_tiles, npix), jnp.float32),
+        jnp.zeros((num_tiles, npix), jnp.float32),
+        jnp.zeros((num_tiles, npix), jnp.float32),
+    )
+    (T, C, Dexp, Dmed, Nacc, _, _, dist), _ = jax.lax.scan(
+        jax.checkpoint(step), init, jnp.arange(n_chunks, dtype=jnp.int32)
+    )
+
+    alpha_map = 1.0 - T
+    image = C + T[..., None] * bg[None, None, :]
+    un = lambda x, ch: (
+        _untile(x if x.ndim == 3 else x[..., None], tiles_x, tiles_y, ts, ch)
+    )
+    return SurfelOutput(
+        image=jnp.clip(un(image, 3)[:H, :W], 0.0, 1.0),
+        alpha=un(alpha_map, 1)[:H, :W, 0],
+        depth_expected=un(Dexp, 1)[:H, :W, 0],
+        depth_median=un(Dmed, 1)[:H, :W, 0],
+        normal=un(Nacc, 3)[:H, :W],
+        dist=un(dist, 1)[:H, :W, 0],
+        radii=radius,
+        overflow=bins.overflow,
+    )
+
+
+def depth_to_normal(depth: jnp.ndarray, rays: jnp.ndarray, alpha: jnp.ndarray):
+    """Pseudo surface normal from a depth map via cross products of the
+    ray-lifted point grid (``renderer_2dgs.py:75-90``)."""
+    o, d = rays[..., :3], rays[..., 3:6]
+    pts = o + d * depth[..., None]
+    dx = pts[2:, 1:-1] - pts[:-2, 1:-1]
+    dy = pts[1:-1, 2:] - pts[1:-1, :-2]
+    n = jnp.cross(dx, dy)
+    n = n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-8)
+    out = jnp.zeros_like(pts)
+    out = out.at[1:-1, 1:-1].set(n)
+    return out * (alpha[..., None] > 0.05)
+
+
+class Renderer2DGS:
+    """Object wrapper mirroring the reference 2DGS ``Renderer`` surface
+    (``renderer_2dgs.py:98-283``): returns the extra ``rend_normal`` /
+    ``depth_normal`` / ``rend_dist`` keys that trigger the 2DGS
+    regularizers in the loss."""
+
+    def __init__(self, sh_degree: int = 1, white_background: bool = True,
+                 radius: float = 1.0, depth_ratio: float = 0.0):
+        self.sh_degree = sh_degree
+        self.bg_color = jnp.ones(3) if white_background else jnp.zeros(3)
+        self.radius = radius
+        self.depth_ratio = depth_ratio
+
+    def render_img(self, cam, rays, centers, shs, opacity, scales, rotations,
+                   bg_color=None, prex: str = "", **kw) -> dict:
+        bg = self.bg_color if bg_color is None else jnp.asarray(bg_color)
+        sh = shs.reshape(shs.shape[0], -1, 3)
+        out = rasterize_surfels(
+            centers, sh, opacity.reshape(-1), scales[..., :2], rotations,
+            cam, bg, self.sh_degree, **kw,
+        )
+        alpha = out.alpha
+        exp_norm = out.depth_expected / jnp.maximum(alpha, 1e-6)
+        surf_depth = (
+            (1.0 - self.depth_ratio) * exp_norm + self.depth_ratio * out.depth_median
+        )
+        # world-space rendered normal (reference rotates view->world)
+        wvt = cam.world_view_transform
+        rend_normal_world = out.normal @ wvt[:3, :3].T
+        result = {
+            f"image{prex}": out.image,
+            f"depth{prex}": surf_depth[..., None],
+            f"acc_map{prex}": alpha,
+            f"rend_dist{prex}": out.dist,
+            f"rend_normal{prex}": rend_normal_world,
+            f"radii{prex}": out.radii,
+        }
+        if rays is not None:
+            result[f"depth_normal{prex}"] = depth_to_normal(surf_depth, rays, alpha)
+        return result

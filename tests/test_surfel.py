@@ -1,0 +1,167 @@
+"""2DGS surfel rasterizer tests: geometry, aux maps, gradients."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from generativedensification_tpu.core import Camera
+from generativedensification_tpu.splat.surfel import (
+    Renderer2DGS,
+    depth_to_normal,
+    rasterize_surfels,
+)
+
+H = W = 64
+TILE = 16
+
+
+def _camera():
+    c2w = np.eye(4)
+    c2w[2, 3] = -2.0
+    return Camera.from_c2w(jnp.asarray(c2w), 0.9, 0.9, W, H, znear=0.01, zfar=10.0)
+
+
+def _flat_disk(z=0.0, size=0.15, opa=0.95):
+    means = jnp.asarray([[0.0, 0.0, z]])
+    shs = jnp.zeros((1, 4, 3)).at[:, 0].set(1.5)
+    opas = jnp.asarray([opa])
+    scales = jnp.full((1, 2), size)
+    quats = jnp.asarray([[1.0, 0.0, 0.0, 0.0]])  # normal along +z (view axis)
+    return means, shs, opas, scales, quats
+
+
+class TestSurfelForward:
+    def test_disk_renders_at_center_with_plane_depth(self):
+        cam = _camera()
+        out = rasterize_surfels(
+            *_flat_disk(), cam, jnp.zeros(3), 1,
+            tile_size=TILE, max_tiles=64, max_per_tile=64, chunk=8,
+        )
+        a = np.asarray(out.alpha)
+        cy, cx = np.unravel_index(a.argmax(), a.shape)
+        assert abs(cx - W / 2) <= 1 and abs(cy - H / 2) <= 1
+        assert a.max() > 0.9
+        # every hit pixel's expected depth / alpha ~ 2.0 (plane ⟂ view axis)
+        hit = a > 0.5
+        d = np.asarray(out.depth_expected)[hit] / a[hit]
+        np.testing.assert_allclose(d, 2.0, atol=1e-3)
+
+    def test_tilted_disk_depth_gradient(self):
+        # tilt the disk 45° about y: depth varies along x
+        cam = _camera()
+        means, shs, opas, scales, quats = _flat_disk(size=0.3)
+        ang = np.pi / 4
+        quats = jnp.asarray([[np.cos(ang / 2), 0.0, np.sin(ang / 2), 0.0]])
+        out = rasterize_surfels(
+            means, shs, opas, scales, quats, cam, jnp.zeros(3), 1,
+            tile_size=TILE, max_tiles=64, max_per_tile=64, chunk=8,
+        )
+        a = np.asarray(out.alpha)
+        row = H // 2
+        hit = np.where(a[row] > 0.5)[0]
+        assert len(hit) > 4
+        d = np.asarray(out.depth_expected)[row, hit] / a[row, hit]
+        # strictly monotonic depth across the tilted plane
+        assert (np.diff(d) > 0).all() or (np.diff(d) < 0).all()
+
+    def test_normal_points_to_camera(self):
+        cam = _camera()
+        out = rasterize_surfels(
+            *_flat_disk(), cam, jnp.zeros(3), 1,
+            tile_size=TILE, max_tiles=64, max_per_tile=64, chunk=8,
+        )
+        a = np.asarray(out.alpha)
+        n = np.asarray(out.normal)[a > 0.5]
+        n = n / np.linalg.norm(n, axis=-1, keepdims=True)
+        # view-space normal of a fronto-parallel disk: -z (toward camera)
+        np.testing.assert_allclose(n[:, 2], -1.0, atol=1e-3)
+
+    def test_median_depth_crossing(self):
+        cam = _camera()
+        out = rasterize_surfels(
+            *_flat_disk(opa=0.95), cam, jnp.zeros(3), 1,
+            tile_size=TILE, max_tiles=64, max_per_tile=64, chunk=8,
+        )
+        a = np.asarray(out.alpha)
+        med = np.asarray(out.depth_median)
+        assert med[a > 0.9].min() > 1.9 and med[a > 0.9].max() < 2.1
+
+    def test_single_surfel_zero_distortion(self):
+        cam = _camera()
+        out = rasterize_surfels(
+            *_flat_disk(), cam, jnp.zeros(3), 1,
+            tile_size=TILE, max_tiles=64, max_per_tile=64, chunk=8,
+        )
+        assert float(jnp.abs(out.dist).max()) < 1e-5
+
+    def test_two_surfels_positive_distortion(self):
+        cam = _camera()
+        means = jnp.asarray([[0.0, 0.0, -0.2], [0.0, 0.0, 0.3]])
+        shs = jnp.zeros((2, 4, 3)).at[:, 0].set(1.0)
+        out = rasterize_surfels(
+            means, shs, jnp.asarray([0.5, 0.9]), jnp.full((2, 2), 0.2),
+            jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (2, 1)),
+            cam, jnp.zeros(3), 1,
+            tile_size=TILE, max_tiles=64, max_per_tile=64, chunk=8,
+        )
+        # mapped-depth gap at znear=0.01 is ~1e-3 -> w1*w2*Δm² ~ 1e-7
+        assert float(out.dist.max()) > 1e-8
+
+
+class TestSurfelGradients:
+    def test_grads_finite_and_nonzero(self):
+        cam = _camera()
+        rng = np.random.default_rng(0)
+        n = 24
+        means = jnp.asarray(rng.uniform(-0.3, 0.3, (n, 3)), jnp.float32)
+        shs = jnp.asarray(rng.normal(size=(n, 4, 3)) * 0.3 + 0.3, jnp.float32)
+        opas = jnp.asarray(rng.uniform(0.2, 0.9, n), jnp.float32)
+        scales = jnp.asarray(np.exp(rng.uniform(np.log(0.03), np.log(0.12), (n, 2))), jnp.float32)
+        quats = jnp.asarray(rng.normal(size=(n, 4)), jnp.float32)
+        wimg = jnp.asarray(rng.normal(size=(H, W, 3)), jnp.float32)
+
+        def loss(means, shs, opas, scales, quats):
+            out = rasterize_surfels(
+                means, shs, opas, scales, quats, cam, jnp.ones(3), 1,
+                tile_size=TILE, max_tiles=64, max_per_tile=256, chunk=8,
+            )
+            return (
+                jnp.sum(out.image * wimg)
+                + 0.1 * jnp.sum(out.dist)
+                + 0.1 * jnp.sum(out.normal)
+                + 0.05 * jnp.sum(out.depth_expected)
+            )
+
+        grads = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(means, shs, opas, scales, quats)
+        for g, nm in zip(grads, ["means", "shs", "opas", "scales", "quats"]):
+            assert np.isfinite(np.asarray(g)).all(), nm
+            assert float(jnp.abs(g).max()) > 0, nm
+
+
+class TestRenderer2DGS:
+    def test_render_img_keys_and_depth_normal(self):
+        from generativedensification_tpu.core.rays import build_rays
+        from generativedensification_tpu.core.camera import fov_to_intrinsics
+
+        cam = _camera()
+        means, shs, opas, scales, quats = _flat_disk()
+        r = Renderer2DGS(sh_degree=1, white_background=True)
+        c2w = np.eye(4)
+        c2w[2, 3] = -2.0
+        ixt = np.asarray(fov_to_intrinsics(0.9, 0.9, W, H))[None]
+        rays = build_rays(jnp.asarray(c2w[None]), jnp.asarray(ixt), H, W)[0]
+        out = r.render_img(
+            cam, rays, means, shs, opas,
+            jnp.concatenate([scales, jnp.full((1, 1), 0.01)], -1), quats,
+            tile_size=TILE, max_tiles=64, max_per_tile=64, chunk=8,
+        )
+        for k in ["image", "depth", "acc_map", "rend_dist", "rend_normal", "depth_normal"]:
+            assert k in out, k
+        # depth-normal of the flat disk interior: along -z in world too
+        a = np.asarray(out["acc_map"])
+        interior = np.zeros_like(a, bool)
+        interior[H // 2 - 3: H // 2 + 3, W // 2 - 3: W // 2 + 3] = True
+        dn = np.asarray(out["depth_normal"])[interior & (a > 0.9)]
+        dn = dn / (np.linalg.norm(dn, axis=-1, keepdims=True) + 1e-9)
+        assert np.abs(dn[:, 2]).mean() > 0.95

@@ -1,0 +1,101 @@
+"""Tools-layer tests: marching tetrahedra, TSDF fusion, pose interp,
+video paths, depth viz."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from generativedensification_tpu.tools.mesh_extractor import (
+    TSDFVolume,
+    marching_tetrahedra,
+)
+from generativedensification_tpu.tools.pose_interp import interpolate_poses, slerp
+from generativedensification_tpu.tools.video_path import (
+    gobjverse_frames,
+    uni_mesh_path,
+    uni_video_path,
+)
+from generativedensification_tpu.utils.vis import visualize_depth
+
+
+class TestMarchingTetrahedra:
+    def test_sphere_surface(self):
+        n = 24
+        ax = np.linspace(-1, 1, n)
+        g = np.stack(np.meshgrid(ax, ax, ax, indexing="ij"), -1)
+        sdf = np.linalg.norm(g, axis=-1) - 0.6
+        verts, faces = marching_tetrahedra(sdf, 0.0)
+        assert len(verts) > 100 and len(faces) > 100
+        # vertices lie on the sphere (grid coords -> world)
+        world = -1 + verts * (2 / (n - 1))
+        r = np.linalg.norm(world, axis=-1)
+        np.testing.assert_allclose(r, 0.6, atol=0.08)
+        # faces index valid vertices
+        assert faces.max() < len(verts) and faces.min() >= 0
+
+    def test_empty_volume(self):
+        verts, faces = marching_tetrahedra(np.ones((8, 8, 8)), 0.0)
+        assert len(verts) == 0 and len(faces) == 0
+
+
+class TestTSDF:
+    def test_integrate_plane(self):
+        # single synthetic depth image of a fronto-parallel plane at z=2
+        from generativedensification_tpu.core import Camera
+
+        H = W = 64
+        c2w = np.eye(4)
+        c2w[2, 3] = -2.0
+        cam = Camera.from_c2w(jnp.asarray(c2w), 0.6, 0.6, W, H, 0.01, 10.0)
+        vol = TSDFVolume([[-0.4, -0.4, -0.1], [0.4, 0.4, 0.1]], voxel_size=0.02)
+        depth = np.full((H, W), 2.0, np.float32)
+        alpha = np.ones((H, W), np.float32)
+        rgb = np.full((H, W, 3), 0.5, np.float32)
+        for _ in range(3):
+            vol.integrate(rgb, depth, alpha, cam)
+        verts, faces, cols = vol.extract_mesh()
+        assert len(verts) > 10
+        # the surface sits near z=0 (plane at world z = 0 since cam at -2)
+        assert abs(float(np.median(verts[:, 2]))) < 0.05
+
+
+class TestPoseInterp:
+    def test_slerp_endpoints(self):
+        q0 = np.array([1.0, 0, 0, 0])
+        q1 = np.array([np.cos(np.pi / 4), 0, 0, np.sin(np.pi / 4)])
+        np.testing.assert_allclose(slerp(q0, q1, 0.0), q0, atol=1e-6)
+        np.testing.assert_allclose(slerp(q0, q1, 1.0), q1, atol=1e-6)
+        mid = slerp(q0, q1, 0.5)
+        assert np.linalg.norm(mid) == pytest.approx(1.0, abs=1e-6)
+
+    def test_interpolate_path_length(self):
+        c2ws = np.stack([np.eye(4)] * 3)
+        c2ws[1, :3, 3] = [1, 0, 0]
+        c2ws[2, :3, 3] = [1, 1, 0]
+        path = interpolate_poses(c2ws, 5, order_poses=False)
+        assert len(path) == 11
+        np.testing.assert_allclose(path[0][:3, 3], [0, 0, 0], atol=1e-6)
+        np.testing.assert_allclose(path[-1][:3, 3], [1, 1, 0], atol=1e-6)
+
+
+class TestVideoPaths:
+    def test_orbit_counts_and_radius(self):
+        cams = gobjverse_frames(12, (64, 64))
+        assert len(cams) == 12
+        # orbit stays at constant distance from origin
+        dists = [float(jnp.linalg.norm(c.camera_center)) for c in cams]
+        np.testing.assert_allclose(dists, dists[0], rtol=1e-4)
+
+    def test_dispatch(self):
+        assert len(uni_video_path(8, "GSO", (32, 32))) == 8
+        assert len(uni_mesh_path(8, "gobjeverse", (32, 32))) == 24
+        with pytest.raises(NotImplementedError):
+            uni_video_path(8, "nope", (32, 32))
+
+
+class TestVis:
+    def test_depth_colorization(self):
+        d = np.linspace(0.5, 2.0, 64 * 64).reshape(64, 64)
+        img, (lo, hi) = visualize_depth(d)
+        assert img.shape == (64, 64, 3) and img.dtype == np.uint8
+        assert lo < hi
