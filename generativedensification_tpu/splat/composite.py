@@ -78,7 +78,7 @@ def _gather_chunk(arrs, idx):
 
 @partial(
     jax.custom_vjp,
-    nondiff_argnums=(8, 9, 10, 11, 12),
+    nondiff_argnums=(8, 9, 10, 11, 12, 13),
 )
 def composite_tiles(
     xy,
@@ -94,6 +94,7 @@ def composite_tiles(
     tile_size: int,
     max_per_tile: int,
     chunk: int,
+    backend: str = "xla",
 ):
     """Composite sorted per-slot Gaussian data into an image.
 
@@ -110,15 +111,90 @@ def composite_tiles(
     """
     out, _ = _composite_fwd_impl(
         xy, xy_abs, conic, color, opacity, depth, bg, bins_arrays,
-        tiles_x, tiles_y, tile_size, max_per_tile, chunk,
+        tiles_x, tiles_y, tile_size, max_per_tile, chunk, backend,
     )
     return out
 
 
+def _build_slab(xy, conic, color, opacity, depth, slot_valid):
+    """Pack per-slot data into the (P, 16) kernel slab layout."""
+    P = xy.shape[0]
+    pad = jnp.zeros((P, 5), jnp.float32)
+    return jnp.concatenate(
+        [
+            xy.astype(jnp.float32),
+            conic.astype(jnp.float32),
+            opacity.astype(jnp.float32)[:, None],
+            color.astype(jnp.float32),
+            depth.astype(jnp.float32)[:, None],
+            slot_valid.astype(jnp.float32)[:, None],
+            pad,
+        ],
+        axis=-1,
+    )
+
+
+def _aligned_layout(tile_starts, tile_counts, P, num_tiles):
+    """CHUNK-align every tile's slab segment (Mosaic 1-D DMA offsets must be
+    divisible by the memref tiling).  Returns (aligned_starts, per-sorted-slot
+    aligned position (or P_al for dead slots), live mask, P_al)."""
+    from .pallas_kernels import CHUNK
+
+    padded = ((tile_counts + CHUNK - 1) // CHUNK) * CHUNK
+    astarts = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(padded)[:-1].astype(jnp.int32)]
+    )
+    P_al = P + CHUNK * num_tiles
+    idx = jnp.arange(P, dtype=jnp.int32)
+    tile_of = jnp.clip(
+        jnp.searchsorted(tile_starts, idx, side="right") - 1, 0, num_tiles - 1
+    )
+    within = idx - tile_starts[tile_of]
+    live = (within >= 0) & (within < tile_counts[tile_of])
+    pos = jnp.where(live, astarts[tile_of] + within, P_al)
+    return astarts, pos, live, P_al
+
+
+def _pallas_fwd(xy, xy_abs, conic, color, opacity, depth, bg, bins_arrays,
+                tiles_x, tiles_y, tile_size):
+    from .pallas_kernels import SLAB_W, pallas_composite_fwd
+
+    tile_starts, tile_counts, slot_valid = bins_arrays
+    num_tiles = tiles_x * tiles_y
+    P = xy.shape[0]
+    slab = _build_slab(xy + xy_abs, conic, color, opacity, depth, slot_valid)
+    astarts, pos, live, P_al = _aligned_layout(
+        tile_starts, tile_counts, P, num_tiles
+    )
+    slab_al = jnp.zeros((P_al, SLAB_W), jnp.float32).at[pos].set(
+        slab, mode="drop"
+    )
+    Cr, Cg, Cb, alpha_t, D, T_eff = pallas_composite_fwd(
+        slab_al, astarts, tile_counts, tiles_x, tiles_y, tile_size
+    )
+    npix = tile_size * tile_size
+    C = jnp.stack([Cr, Cg, Cb], axis=-1).reshape(num_tiles, npix, 3)
+    alpha_t = alpha_t.reshape(num_tiles, npix)
+    D = D.reshape(num_tiles, npix)
+    T_eff = 1.0 - alpha_t
+    image_t = C + T_eff[..., None] * bg[None, None, :]
+    out = (
+        _untile(image_t, tiles_x, tiles_y, tile_size, 3),
+        _untile(alpha_t[..., None], tiles_x, tiles_y, tile_size, 1)[..., 0],
+        _untile(D[..., None], tiles_x, tiles_y, tile_size, 1)[..., 0],
+    )
+    return out, (C, D, T_eff)
+
+
 def _composite_fwd_impl(
     xy, xy_abs, conic, color, opacity, depth, bg, bins_arrays,
-    tiles_x, tiles_y, tile_size, max_per_tile, chunk,
+    tiles_x, tiles_y, tile_size, max_per_tile, chunk, backend="xla",
 ):
+    if backend == "pallas":
+        return _pallas_fwd(
+            xy, xy_abs, conic, color, opacity, depth, bg, bins_arrays,
+            tiles_x, tiles_y, tile_size,
+        )
     tile_starts, tile_counts, slot_valid = bins_arrays
     ts = tile_size
     num_tiles = tiles_x * tiles_y
@@ -192,19 +268,73 @@ def _tile(img, tiles_x, tiles_y, ts):
 
 def _composite_fwd(
     xy, xy_abs, conic, color, opacity, depth, bg, bins_arrays,
-    tiles_x, tiles_y, tile_size, max_per_tile, chunk,
+    tiles_x, tiles_y, tile_size, max_per_tile, chunk, backend="xla",
 ):
     out, res = _composite_fwd_impl(
         xy, xy_abs, conic, color, opacity, depth, bg, bins_arrays,
-        tiles_x, tiles_y, tile_size, max_per_tile, chunk,
+        tiles_x, tiles_y, tile_size, max_per_tile, chunk, backend,
     )
     saved = (xy, conic, color, opacity, depth, bg, bins_arrays, res)
     return out, saved
 
 
+def _pallas_bwd(saved, cot, tiles_x, tiles_y, tile_size):
+    from .pallas_kernels import pallas_composite_bwd
+
+    xy, conic, color, opacity, depth, bg, bins_arrays, res = saved
+    gC_img, gA_img, gD_img = cot
+    C_fin, D_fin, T_fin = res
+    tile_starts, tile_counts, slot_valid = bins_arrays
+    ts = tile_size
+    num_tiles = tiles_x * tiles_y
+
+    gC = _tile(gC_img, tiles_x, tiles_y, ts)
+    gA = _tile(gA_img[..., None], tiles_x, tiles_y, ts)[..., 0]
+    gD = _tile(gD_img[..., None], tiles_x, tiles_y, ts)[..., 0]
+    G = jnp.sum(gC * C_fin, axis=-1) + gD * D_fin
+    gTf = (jnp.sum(gC * bg[None, None, :], axis=-1) - gA) * T_fin
+
+    from .pallas_kernels import SLAB_W
+
+    P = xy.shape[0]
+    slab = _build_slab(xy, conic, color, opacity, depth, slot_valid)
+    astarts, pos, live, P_al = _aligned_layout(
+        tile_starts, tile_counts, P, num_tiles
+    )
+    slab_al = jnp.zeros((P_al, SLAB_W), jnp.float32).at[pos].set(
+        slab, mode="drop"
+    )
+    r8 = lambda x: x.reshape(num_tiles, 8, 128)
+    grad_al = pallas_composite_bwd(
+        slab_al, astarts, tile_counts,
+        gC.reshape(num_tiles, 8, 128, 3), r8(gA), r8(gD), r8(G), r8(gTf),
+        tiles_x, tiles_y, ts,
+    )
+    grad = jnp.where(
+        live[:, None],
+        jnp.take(grad_al, jnp.clip(pos, 0, P_al - 1), axis=0),
+        0.0,
+    )
+    d_xy = grad[:, 0:2]
+    d_con = grad[:, 2:5]
+    d_opa = grad[:, 5]
+    d_col = grad[:, 6:9]
+    d_dep = grad[:, 9]
+    d_abs = grad[:, 10:12]
+    d_bg = jnp.einsum("tpc,tp->c", gC, T_fin)
+    import numpy as np
+
+    d_bins = tuple(
+        np.zeros(np.shape(b), jax.dtypes.float0) for b in bins_arrays
+    )
+    return (d_xy, d_abs, d_con, d_col, d_opa, d_dep, d_bg, d_bins)
+
+
 def _composite_bwd(
-    tiles_x, tiles_y, tile_size, max_per_tile, chunk, saved, cot,
+    tiles_x, tiles_y, tile_size, max_per_tile, chunk, backend, saved, cot,
 ):
+    if backend == "pallas":
+        return _pallas_bwd(saved, cot, tiles_x, tiles_y, tile_size)
     xy, conic, color, opacity, depth, bg, bins_arrays, res = saved
     gC_img, gA_img, gD_img = cot
     C_fin, D_fin, T_fin = res

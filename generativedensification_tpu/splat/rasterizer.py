@@ -50,6 +50,7 @@ def rasterize(
     screen_offset: jnp.ndarray | None = None,
     screen_abs: jnp.ndarray | None = None,
     cov3d: jnp.ndarray | None = None,
+    backend: str = "auto",
 ) -> RasterizeOutput:
     """Differentiably splat N activated Gaussians into one camera.
 
@@ -64,6 +65,9 @@ def rasterize(
     N = means3d.shape[0]
     H, W = camera.height, camera.width
     max_per_tile = min(max_per_tile, N * max_tiles)
+    if backend == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        backend = "pallas" if (on_tpu and tile_size == 32) else "xla"
 
     proj = project_gaussians(
         means3d,
@@ -103,6 +107,7 @@ def rasterize(
         tile_size,
         max_per_tile,
         chunk,
+        backend,
     )
     # crop any tile padding back to the true resolution
     image = jnp.clip(image[:H, :W], 0.0, 1.0)

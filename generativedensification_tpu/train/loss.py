@@ -81,8 +81,21 @@ def ms_ssim(
     data_range: float = 1.0,
     weights: tuple = _MSSSIM_WEIGHTS,
 ) -> jnp.ndarray:
-    """Multi-scale SSIM (NHWC).  Needs min(H, W) > 10 * 2^(levels-1)."""
+    """Multi-scale SSIM (NHWC).
+
+    Uses as many of the requested scales as the resolution supports
+    (each scale needs min(H, W) / 2^(level-1) >= 11 for the valid-window
+    filter); truncated weights are renormalized.  At the training
+    resolution (512 x V*512) all 5 standard scales are active, matching
+    pytorch_msssim exactly.
+    """
     levels = len(weights)
+    min_side = min(img1.shape[1], img1.shape[2])
+    while levels > 1 and (min_side >> (levels - 1)) < 11:
+        levels -= 1
+    if levels < len(weights):
+        total = sum(weights[:levels])
+        weights = tuple(w_ / total for w_ in weights[:levels])
     w = jnp.asarray(weights, jnp.float32)
     vals = []
     for i in range(levels):
