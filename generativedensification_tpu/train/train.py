@@ -79,6 +79,11 @@ def main(cfg):
     train_step = make_train_step(net, tx, losses, with_fine=with_fine)
     eval_step = make_eval_step(net, losses, with_fine=True)
 
+    from ..utils.debugging import maybe_profile, nan_guard
+
+    train_step = nan_guard(train_step, enabled=bool(cfg.tpu.nan_check))
+    profile_dir = cfg.tpu.profile_dir
+
     try:
         from tensorboardX import SummaryWriter
 
@@ -90,7 +95,8 @@ def main(cfg):
     for epoch in range(cfg.train.n_epoch):
         for batch_np in train_loader:
             batch = shard_batch(to_device_batch(batch_np), mesh)
-            state, stats = train_step(state, batch)
+            with maybe_profile(profile_dir if step == 20 else None):
+                state, stats = train_step(state, batch)
             step += 1
             if step % 20 == 0:
                 s = {k: float(v) for k, v in stats.items()}

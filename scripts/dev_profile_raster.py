@@ -47,3 +47,11 @@ fwd2 = jax.jit(lambda: rasterize(means, shs, opa, scales, quats, cam, bg, 1, til
 print("full fwd mpt=1024:", timeit(fwd2)*1e3, "ms")
 fwd3 = jax.jit(lambda: rasterize(means, shs, opa, scales, quats, cam, bg, 1, tile_size=16, max_tiles=8, max_per_tile=1024, chunk=32).image)
 print("full fwd ts=16 mpt=1024:", timeit(fwd3)*1e3, "ms")
+
+# pallas backend timings
+fwd_p = jax.jit(lambda: rasterize(means, shs, opa, scales, quats, cam, bg, 1, tile_size=32, max_tiles=8, max_per_tile=4096, chunk=32, backend="pallas").image)
+print("pallas fwd:", timeit(fwd_p)*1e3, "ms")
+def loss_p(m):
+    return jnp.mean(rasterize(m, shs, opa, scales, quats, cam, bg, 1, tile_size=32, max_tiles=8, max_per_tile=4096, chunk=32, backend="pallas").image)
+g_p = jax.jit(jax.grad(loss_p))
+print("pallas fwd+bwd:", timeit(g_p, means)*1e3, "ms")
