@@ -26,6 +26,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+def _interpret() -> bool:
+    """Interpret kernels off-TPU (CPU tests exercise the same code path)."""
+    import jax
+
+    return jax.default_backend() != "tpu"
+
+
 ALPHA_MAX = 0.99
 ALPHA_MIN = 1.0 / 255.0
 T_EPS = 1e-4
@@ -129,7 +136,7 @@ def _fwd_kernel(
             return (U, T_eff, Cr, Cg, Cb, D)
 
         T_raw, T_eff, Cr, Cg, Cb, D = jax.lax.fori_loop(
-            0, CHUNK, slot_body, (T_raw, T_eff, Cr, Cg, Cb, D)
+            0, CHUNK, slot_body, (T_raw, T_eff, Cr, Cg, Cb, D), unroll=CHUNK
         )
         return (c + 1, T_raw, T_eff, Cr, Cg, Cb, D)
 
@@ -192,6 +199,7 @@ def pallas_composite_fwd(slab, tile_starts, tile_counts, tiles_x, tiles_y,
         kernel,
         out_shape=out_shape,
         grid_spec=grid_spec,
+        interpret=_interpret(),
     )(tile_starts, tile_counts, slab)
 
 
@@ -301,7 +309,9 @@ def _bwd_kernel(
 
             return (U, prefix)
 
-        T_raw, prefix = jax.lax.fori_loop(0, CHUNK, slot_body, (T_raw, prefix))
+        T_raw, prefix = jax.lax.fori_loop(
+            0, CHUNK, slot_body, (T_raw, prefix), unroll=CHUNK
+        )
 
         off = pl.multiple_of((start + c * CHUNK) * SLAB_W, CHUNK * SLAB_W)
         out_dma = pltpu.make_async_copy(
@@ -368,6 +378,7 @@ def pallas_composite_bwd(
         grid_spec=grid_spec,
         input_output_aliases={10: 0},  # zeros_grad (arg 10 incl. prefetch) -> out
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=_interpret(),
     )(
         tile_starts, tile_counts, slab_p,
         gc_tiled[..., 0], gc_tiled[..., 1], gc_tiled[..., 2],

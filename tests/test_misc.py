@@ -1,0 +1,106 @@
+"""kNN, finetune path, torch-converter primitives, debugging hooks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from generativedensification_tpu.core.knn import mean_knn_sq_dist
+
+
+class TestKNN:
+    def test_matches_bruteforce(self):
+        rng = np.random.default_rng(0)
+        pts = rng.normal(size=(300, 3)).astype(np.float32)
+        ours = np.asarray(mean_knn_sq_dist(jnp.asarray(pts), k=3, chunk=128))
+        d2 = ((pts[:, None] - pts[None]) ** 2).sum(-1)
+        np.fill_diagonal(d2, np.inf)
+        ref = np.sort(d2, axis=1)[:, :3].mean(1)
+        np.testing.assert_allclose(ours, ref, rtol=1e-4)
+
+    def test_grid_spacing(self):
+        # regular grid: 3-NN mean sq dist == spacing^2
+        ax = np.linspace(0, 1, 5)
+        pts = np.stack(np.meshgrid(ax, ax, ax, indexing="ij"), -1).reshape(-1, 3)
+        d = np.asarray(mean_knn_sq_dist(jnp.asarray(pts, jnp.float32), chunk=64))
+        assert abs(float(np.median(d)) - 0.25**2) < 1e-5
+
+
+class TestFinetune:
+    def test_overfits_single_view(self):
+        from generativedensification_tpu.core import Camera
+        from generativedensification_tpu.eval.finetune import (
+            finetune,
+            init_from_pcd,
+        )
+
+        rng = np.random.default_rng(1)
+        n = 64
+        pts = jnp.asarray(rng.uniform(-0.3, 0.3, (n, 3)), jnp.float32)
+        cols = jnp.asarray(rng.uniform(0.2, 0.8, (n, 3)), jnp.float32)
+        params = init_from_pcd(pts, cols)
+
+        c2w = np.eye(4)
+        c2w[2, 3] = -2.0
+        cam = Camera.from_c2w(jnp.asarray(c2w[None]), 0.8, 0.8, 32, 32)
+        gt = jnp.ones((1, 32, 32, 3)) * 0.5
+        bgs = jnp.ones((1, 3))
+        kw = dict(tile_size=16, max_tiles=16, max_per_tile=128, chunk=16,
+                  backend="xla")
+
+        p0 = jax.tree.map(lambda x: x, params)
+        params, loss0 = finetune(
+            params, cam, gt, bgs, steps=1, raster_kw=kw
+        )
+        params, loss1 = finetune(
+            params, cam, gt, bgs, steps=30, raster_kw=kw
+        )
+        assert np.isfinite(loss1)
+        assert loss1 < loss0
+        moved = sum(
+            float(jnp.abs(a - b).sum())
+            for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(params))
+        )
+        assert moved > 0
+
+
+class TestTorchConvertPrimitives:
+    def test_linear_and_conv_layouts(self):
+        from generativedensification_tpu.utils.torch_convert import (
+            split_qkv,
+            t2f_conv2d,
+            t2f_conv3d,
+            t2f_convtranspose3d,
+            t2f_linear,
+        )
+
+        rng = np.random.default_rng(2)
+        w = rng.normal(size=(8, 4))
+        x = rng.normal(size=(4,))
+        np.testing.assert_allclose(x @ t2f_linear(w), w @ x, rtol=1e-6)
+
+        w2 = rng.normal(size=(6, 3, 5, 5))
+        assert t2f_conv2d(w2).shape == (5, 5, 3, 6)
+        w3 = rng.normal(size=(6, 3, 2, 2, 2))
+        assert t2f_conv3d(w3).shape == (2, 2, 2, 3, 6)
+        wt = rng.normal(size=(3, 6, 2, 2, 2))
+        assert t2f_convtranspose3d(wt).shape == (2, 2, 2, 3, 6)
+
+        qkv = rng.normal(size=(12, 4))
+        parts = split_qkv(qkv, np.arange(12.0))
+        np.testing.assert_allclose(parts["k"]["kernel"], qkv[4:8].T)
+        np.testing.assert_allclose(parts["v"]["bias"], np.arange(8.0, 12.0))
+
+
+class TestDebugHooks:
+    def test_nan_guard(self):
+        from generativedensification_tpu.utils.debugging import nan_guard
+
+        def bad_step(state, batch):
+            return state, {"loss": float("nan")}
+
+        guarded = nan_guard(bad_step, enabled=True)
+        with pytest.raises(FloatingPointError):
+            guarded(None, None)
+        ok = nan_guard(lambda s, b: (s, {"loss": 1.0}), enabled=True)
+        assert ok(None, None)[1]["loss"] == 1.0

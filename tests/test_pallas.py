@@ -1,0 +1,70 @@
+"""Pallas kernel parity vs the XLA compositing path (interpret mode on CPU,
+compiled on TPU — same code path either way)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from generativedensification_tpu.splat.composite import composite_tiles
+
+TS = 32
+TILES = 2  # 2x2 tiles = 64x64 image
+
+
+def _data(P=192, seed=0):
+    rng = np.random.default_rng(seed)
+    counts = jnp.asarray([70, 50, 0, 60], jnp.int32)
+    starts = jnp.asarray([0, 70, 120, 120], jnp.int32)
+    xy = jnp.asarray(rng.uniform(0, 64, (P, 2)), jnp.float32)
+    conic = jnp.tile(jnp.asarray([[0.08, 0.01, 0.06]], jnp.float32), (P, 1))
+    color = jnp.asarray(rng.uniform(0, 1, (P, 3)), jnp.float32)
+    opa = jnp.asarray(rng.uniform(0.2, 0.95, P), jnp.float32)
+    depth = jnp.asarray(rng.uniform(1, 3, P), jnp.float32)
+    valid = jnp.asarray(rng.uniform(size=P) > 0.1)
+    bg = jnp.asarray([0.3, 0.6, 0.9])
+    return xy, conic, color, opa, depth, valid, bg, (starts, counts, valid)
+
+
+def _run(backend, data):
+    xy, conic, color, opa, depth, valid, bg, bins = data
+    return composite_tiles(
+        xy, jnp.zeros_like(xy), conic, color, opa, depth, bg, bins,
+        TILES, TILES, TS, 128, 32, backend,
+    )
+
+
+class TestPallasParity:
+    def test_forward_matches_xla(self):
+        data = _data()
+        ox = _run("xla", data)
+        op = _run("pallas", data)
+        for a, b, name in zip(ox, op, ["image", "alpha", "depth"]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5, err_msg=name
+            )
+
+    def test_gradients_match_xla(self):
+        data = _data(seed=3)
+        xy, conic, color, opa, depth, valid, bg, bins = data
+        rng = np.random.default_rng(1)
+        w = jnp.asarray(rng.normal(size=(64, 64, 3)), jnp.float32)
+
+        def loss(be, xy, xy_abs, conic, color, opa, depth):
+            img, alpha, dep = composite_tiles(
+                xy, xy_abs, conic, color, opa, depth, bg, bins,
+                TILES, TILES, TS, 128, 32, be,
+            )
+            return jnp.sum(img * w) + 0.2 * jnp.sum(alpha) + 0.1 * jnp.sum(dep)
+
+        zeros = jnp.zeros_like(xy)
+        args = (xy, zeros, conic, color, opa, depth)
+        gx = jax.grad(lambda *a: loss("xla", *a), argnums=tuple(range(6)))(*args)
+        gp = jax.grad(lambda *a: loss("pallas", *a), argnums=tuple(range(6)))(*args)
+        names = ["xy", "xy_abs", "conic", "color", "opa", "depth"]
+        for a, b, name in zip(gx, gp, names):
+            scale = max(1e-6, float(jnp.abs(a).max()))
+            np.testing.assert_allclose(
+                np.asarray(a) / scale, np.asarray(b) / scale, atol=2e-5,
+                err_msg=f"grad {name}",
+            )
