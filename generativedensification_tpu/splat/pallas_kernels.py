@@ -1,20 +1,31 @@
-"""Pallas TPU kernels for the rasterization hot loop.
+"""Pallas TPU kernels for the rasterization hot loop (vectorized v2).
 
-The XLA compositing path (``composite.py``) is shape-oblivious: every tile
-scans ``max_per_tile`` slots.  These kernels give each tile its own grid
-program with a *dynamic* trip count (``tile_counts`` via scalar prefetch),
-double-buffered HBM->VMEM slab DMA, and true early termination when every
-pixel in the tile is saturated — the wins the CUDA rasterizer gets from
-per-tile thread blocks, expressed the TPU way.
+v1 processed one slot at a time with scalar SMEM loads (~850 cycles/slot,
+96% overhead).  v2 works on whole (CHUNK slots x 1024 pixels) matrices so
+the VPU/MXU see dense vector work; the only serial dependency left is the
+transmittance chain over (1, 1024) pixel rows.
 
-Layout: tile_size=32 so a tile's 1024 pixels form one (8, 128) vreg-shaped
-block; pixel (py, px) lives at sublane ``py*32+px) // 128`` etc — closed
-forms below.  Slot attributes are packed as a (P, 16) f32 slab:
-  [x, y, conic_a, conic_b, conic_c, opacity, r, g, b, depth, valid, 0...].
+Per tile (one grid program, dynamic trip count via scalar prefetch):
+  1. DMA the tile's slab chunk — stored attribute-major (16, P) so a
+     (16, CHUNK=128) slice is lane-aligned — into VMEM (double buffered).
+  2. The Gaussian exponent is a quadratic form in pixel coordinates:
+       power(k, px) = Σ_j coef_j(k) · basis_j(px),
+       basis = [X², Y², XY, X, Y, 1, 0, 0]
+     -> one (CHUNK, 8) @ (8, 1024) MXU matmul per chunk.
+  3. alpha + culling masks: elementwise on the (CHUNK, 1024) matrix.
+  4. transmittance: an unrolled serial chain over CHUNK (1, 1024) rows
+     (front-to-back order is inherently sequential; nothing else is),
+     emitting the weight matrix W(k, px) = α·T_exc·include.
+  5. color/depth accumulation: (8, CHUNK) @ (CHUNK, 1024) MXU matmul.
 
-Forward math and the front-to-back backward (prefix trick, AbsGS channels)
-are bit-compatible with ``composite.py`` — the test suite asserts the two
-backends agree on both values and gradients.
+The backward reuses 1-4, accumulates the per-pixel inclusive prefix inside
+the serial chain (suffix = G - prefix trick, see composite.py), and turns
+the 12 per-slot gradient reductions (incl. the AbsGS |d/dx|, |d/dy|
+channels) into row-sums over (CHUNK, 1024) matrices.  Early termination:
+the chunk loop is a while_loop that stops once max(T) < 1e-4.
+
+Semantics are bit-compatible with composite.py; tests assert parity on CPU
+(interpret mode) and the dev scripts on real TPU.
 """
 
 from __future__ import annotations
@@ -26,10 +37,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+
 def _interpret() -> bool:
     """Interpret kernels off-TPU (CPU tests exercise the same code path)."""
-    import jax
-
     return jax.default_backend() != "tpu"
 
 
@@ -37,54 +47,113 @@ ALPHA_MAX = 0.99
 ALPHA_MIN = 1.0 / 255.0
 T_EPS = 1e-4
 SLAB_W = 16
-CHUNK = 64
+CHUNK = 128   # slots per DMA chunk; also the lane-alignment quantum
+NPIX = 1024   # 32x32 tile
 
-# slab column indices
+# slab row indices (attribute-major layout)
 _X, _Y, _A, _B, _C, _OPA, _R, _G, _BL, _DEP, _VAL = range(11)
 
 
-def _pixel_coords(t, tiles_x: int, ts: int):
-    """(8, 128) f32 pixel-center coordinates of tile t (ts must be 32)."""
+def _pixel_rows(t, tiles_x: int, ts: int):
+    """(1, NPIX) f32 *tile-local* pixel coordinates + tile origin.
+
+    Local coordinates keep the quadratic-form matmul terms small (|v| < 32)
+    so the f32 cancellation at the Gaussian center stays ~1e-6 — with
+    global 512-px coordinates the power(center)=0 identity cancels terms of
+    magnitude ~1e4 and borderline pixels flip the power<=0 cull.
+    """
     ox = (t % tiles_x) * ts
     oy = (t // tiles_x) * ts
-    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    sub = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-    X = (ox + lane % ts).astype(jnp.float32)
-    Y = (oy + sub * (128 // ts) + lane // ts).astype(jnp.float32)
-    return X, Y
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, NPIX), 1)
+    X = (p % ts).astype(jnp.float32)
+    Y = (p // ts).astype(jnp.float32)
+    return X, Y, ox.astype(jnp.float32), oy.astype(jnp.float32)
+
+
+def _basis8(X, Y):
+    return jnp.concatenate(
+        [X * X, Y * Y, X * Y, X, Y, jnp.ones_like(X), jnp.zeros_like(X),
+         jnp.zeros_like(X)],
+        axis=0,
+    )  # (8, NPIX)
+
+
+def _alpha_matrix(A, AT, base, count, basis8, ox, oy):
+    """alpha (CHUNK, NPIX) for one slab chunk.
+
+    A: (SLAB_W, CHUNK) attribute rows; AT: (CHUNK, SLAB_W).
+    ox/oy: tile origin (coordinates are tile-local).
+    """
+    a_r = A[_A:_A + 1]
+    b_r = A[_B:_B + 1]
+    c_r = A[_C:_C + 1]
+    x_r = A[_X:_X + 1] - ox
+    y_r = A[_Y:_Y + 1] - oy
+    zeros_r = jnp.zeros_like(a_r)
+    coefs = jnp.concatenate(
+        [
+            -0.5 * a_r,
+            -0.5 * c_r,
+            -b_r,
+            a_r * x_r + b_r * y_r,
+            c_r * y_r + b_r * x_r,
+            -0.5 * (a_r * x_r * x_r + 2.0 * b_r * x_r * y_r + c_r * y_r * y_r),
+            zeros_r,
+            zeros_r,
+        ],
+        axis=0,
+    )  # (8, CHUNK)
+    power = jax.lax.dot_general(
+        coefs.T, basis8,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (CHUNK, NPIX)
+
+    opa_c = AT[:, _OPA:_OPA + 1]
+    val_c = AT[:, _VAL:_VAL + 1]
+    # full-width iota: (CHUNK, 1)-shaped iotas mis-lower on TPU (lane dim
+    # below the minimum tile), so build the live mask at (CHUNK, NPIX)
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, NPIX), 0)
+    live = ((base + row_idx) < count).astype(jnp.float32)
+
+    # power = -quadratic_form <= 0 mathematically (PSD conic); positives are
+    # pure rounding noise from the matmul form, so clamp instead of the
+    # reference's strict power>0 cull (which only ever fires on noise).
+    power = jnp.minimum(power, 0.0)
+    alpha = jnp.minimum(ALPHA_MAX, opa_c * jnp.exp(power))
+    ok = alpha >= ALPHA_MIN
+    return jnp.where(ok, alpha, 0.0) * val_c * live
+
+
+def _color_lhs(A):
+    """(8, CHUNK) rows [r, g, b, depth, 0, 0, 0, 0]."""
+    return jnp.concatenate(
+        [A[_R:_R + 1], A[_G:_G + 1], A[_BL:_BL + 1], A[_DEP:_DEP + 1],
+         jnp.zeros((4, A.shape[1]), jnp.float32)],
+        axis=0,
+    )
 
 
 def _fwd_kernel(
-    starts_ref,
-    counts_ref,
-    slab_hbm,
-    cr_out,
-    cg_out,
-    cb_out,
-    alpha_out,
-    depth_out,
-    traw_out,
-    buf,      # VMEM (2, CHUNK, SLAB_W)
-    sem,      # DMA sems (2,)
-    *,
-    tiles_x: int,
-    ts: int,
+    starts_ref, counts_ref, slab_hbm,
+    c4_out, alpha_out, teff_out,
+    buf, sem,
+    *, tiles_x: int, ts: int,
 ):
     t = pl.program_id(0)
-    # starts are CHUNK-aligned (see _aligned_layout); the hint lets Mosaic
-    # prove the 1-D DMA offsets divisible by the (1024,) memref tiling
     start = pl.multiple_of(starts_ref[t], CHUNK)
     count = counts_ref[t]
-    X, Y = _pixel_coords(t, tiles_x, ts)
-
+    X, Y, ox, oy = _pixel_rows(t, tiles_x, ts)
+    basis8 = _basis8(X, Y)
     n_chunks = pl.cdiv(count, CHUNK)
 
     def dma(slot, c):
-        off = pl.multiple_of((start + c * CHUNK) * SLAB_W, CHUNK * SLAB_W)
-        boff = pl.multiple_of(slot * (CHUNK * SLAB_W), CHUNK * SLAB_W)
+        off = pl.multiple_of(start + c * CHUNK, CHUNK)
+        boff = pl.multiple_of(slot * SLAB_W, SLAB_W)
         return pltpu.make_async_copy(
-            slab_hbm.at[pl.ds(off, CHUNK * SLAB_W)],
-            buf.at[pl.ds(boff, CHUNK * SLAB_W)],
+            slab_hbm.at[:, pl.ds(off, CHUNK)],
+            buf.at[pl.ds(boff, SLAB_W)],
             sem.at[slot],
         )
 
@@ -92,149 +161,128 @@ def _fwd_kernel(
     def _():
         dma(0, 0).start()
 
-    ones = jnp.ones((8, 128), jnp.float32)
-    zeros = jnp.zeros((8, 128), jnp.float32)
+    ones_row = jnp.ones((1, NPIX), jnp.float32)
 
     def chunk_body(state):
-        c, T_raw, T_eff, Cr, Cg, Cb, D = state
+        c, T_raw, T_eff, C4 = state
 
         @pl.when(c + 1 < n_chunks)
         def _():
             dma((c + 1) % 2, c + 1).start()
 
         dma(c % 2, c).wait()
-        sl = c % 2
-        base = c * CHUNK
+        boff = pl.multiple_of((c % 2) * SLAB_W, SLAB_W)
+        A = buf[pl.ds(boff, SLAB_W)]             # (SLAB_W, CHUNK)
+        AT = A.T
+        alpha = _alpha_matrix(A, AT, c * CHUNK, count, basis8, ox, oy)
 
-        def slot_body(k, carry):
-            T_raw, T_eff, Cr, Cg, Cb, D = carry
-            o = sl * (CHUNK * SLAB_W) + k * SLAB_W
-            x = buf[o + _X]
-            y = buf[o + _Y]
-            a = buf[o + _A]
-            b = buf[o + _B]
-            cc = buf[o + _C]
-            opa = buf[o + _OPA]
-            val = buf[o + _VAL]
-            live = ((base + k) < count).astype(jnp.float32) * val
-
-            dx = X - x
-            dy = Y - y
-            power = -0.5 * (a * dx * dx + cc * dy * dy) - b * dx * dy
-            alpha = jnp.minimum(ALPHA_MAX, opa * jnp.exp(power))
-            ok = (power <= 0.0) & (alpha >= ALPHA_MIN)
-            alpha = jnp.where(ok, alpha, 0.0) * live
-
-            U = T_raw * (1.0 - alpha)
+        # serial transmittance chain (front-to-back over rows)
+        w_rows = []
+        for k in range(CHUNK):
+            al = alpha[k:k + 1]
+            U = T_raw * (1.0 - al)
             inc = (U >= T_EPS).astype(jnp.float32)
-            w = alpha * T_raw * inc
-            Cr = Cr + w * buf[o + _R]
-            Cg = Cg + w * buf[o + _G]
-            Cb = Cb + w * buf[o + _BL]
-            D = D + w * buf[o + _DEP]
-            T_eff = T_eff * (1.0 - alpha * inc)
-            return (U, T_eff, Cr, Cg, Cb, D)
+            w_rows.append(al * T_raw * inc)
+            T_eff = T_eff * (1.0 - al * inc)
+            T_raw = U
+        W = jnp.concatenate(w_rows, axis=0)       # (CHUNK, NPIX)
 
-        T_raw, T_eff, Cr, Cg, Cb, D = jax.lax.fori_loop(
-            0, CHUNK, slot_body, (T_raw, T_eff, Cr, Cg, Cb, D), unroll=CHUNK
-        )
-        return (c + 1, T_raw, T_eff, Cr, Cg, Cb, D)
+        C4 = C4 + jax.lax.dot_general(
+            _color_lhs(A), W,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (8, NPIX): rows r, g, b, depth
+        return (c + 1, T_raw, T_eff, C4)
 
     def cond(state):
-        c = state[0]
-        T_raw = state[1]
+        c, T_raw = state[0], state[1]
         return (c < n_chunks) & (jnp.max(T_raw) >= T_EPS)
 
-    c, T_raw, T_eff, Cr, Cg, Cb, D = jax.lax.while_loop(
-        cond, chunk_body, (0, ones, ones, zeros, zeros, zeros, zeros)
+    c, T_raw, T_eff, C4 = jax.lax.while_loop(
+        cond, chunk_body,
+        (0, ones_row, ones_row, jnp.zeros((8, NPIX), jnp.float32)),
     )
-    # drain the possibly-inflight prefetch so the next program's buffer is free
+
     @pl.when(c < n_chunks)
     def _():
         dma(c % 2, c).wait()
 
-    cr_out[0] = Cr
-    cg_out[0] = Cg
-    cb_out[0] = Cb
+    c4_out[0] = C4
     alpha_out[0] = 1.0 - T_eff
-    depth_out[0] = D
-    traw_out[0] = T_eff
+    teff_out[0] = T_eff
 
 
 def pallas_composite_fwd(slab, tile_starts, tile_counts, tiles_x, tiles_y,
                          tile_size: int = 32):
-    """slab (P, 16) sorted slot data -> per-tile (8,128) maps.
+    """slab (SLAB_W, P_pad) attribute-major aligned slot data -> pixel maps.
 
     Returns (Cr, Cg, Cb, alpha, depth, T_eff), each (num_tiles, 8, 128).
     """
     assert tile_size == 32, "pallas path is specialized to 32px tiles"
     num_tiles = tiles_x * tiles_y
-    P = slab.shape[0]
-    # pad so chunked DMA can overrun the tail; flatten (1-D HBM slices
-    # avoid lane-padded 2-D memref alignment constraints)
-    slab = jnp.concatenate(
-        [slab, jnp.zeros((CHUNK, SLAB_W), slab.dtype)], axis=0
-    ).reshape(-1)
+    slab_t = slab  # (SLAB_W, P_pad) attribute-major, CHUNK-overrun padded
 
     out_shape = [
-        jax.ShapeDtypeStruct((num_tiles, 8, 128), jnp.float32)
-        for _ in range(6)
+        jax.ShapeDtypeStruct((num_tiles, 8, NPIX), jnp.float32),
+        jax.ShapeDtypeStruct((num_tiles, 1, NPIX), jnp.float32),
+        jax.ShapeDtypeStruct((num_tiles, 1, NPIX), jnp.float32),
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=[
-            pl.BlockSpec((1, 8, 128), lambda t, *prefetch: (t, 0, 0),
-                         memory_space=pltpu.VMEM)
-            for _ in range(6)
+            pl.BlockSpec((1, 8, NPIX), lambda t, *p: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NPIX), lambda t, *p: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NPIX), lambda t, *p: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.SMEM((2 * CHUNK * SLAB_W,), jnp.float32),
+            pltpu.VMEM((2 * SLAB_W, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(_fwd_kernel, tiles_x=tiles_x, ts=tile_size)
-    return pl.pallas_call(
+    C4, alpha, teff = pl.pallas_call(
         kernel,
         out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=_interpret(),
-    )(tile_starts, tile_counts, slab)
+    )(tile_starts, tile_counts, slab_t)
+    r8 = lambda x: x.reshape(num_tiles, 8, 128)
+    return (
+        r8(C4[:, 0]), r8(C4[:, 1]), r8(C4[:, 2]),
+        r8(alpha[:, 0]), r8(C4[:, 3]), r8(teff[:, 0]),
+    )
 
 
 def _bwd_kernel(
-    starts_ref,
-    counts_ref,
-    slab_hbm,
-    gc_r_in, gc_g_in, gc_b_in,   # (1, 8, 128) tiled cotangents
-    gA_in, gD_in, G_in, gTf_in,  # per-pixel terms (gTf = (gC·bg - gA)·T_fin)
-    zeros_in,                    # aliased zero-initialized input (unused ref)
-    grad_hbm,                    # flat (P_al*16,) output slab, aliased zeros
+    starts_ref, counts_ref, slab_hbm,
+    gc4_in, G_in, gTf_in,
+    zeros_in, grad_hbm,
     buf, gbuf, sem, gsem,
-    *,
-    tiles_x: int,
-    ts: int,
+    *, tiles_x: int, ts: int,
 ):
     t = pl.program_id(0)
     start = pl.multiple_of(starts_ref[t], CHUNK)
     count = counts_ref[t]
-    X, Y = _pixel_coords(t, tiles_x, ts)
+    X, Y, ox, oy = _pixel_rows(t, tiles_x, ts)
+    basis8 = _basis8(X, Y)
     n_chunks = pl.cdiv(count, CHUNK)
 
-    gCr = gc_r_in[0]
-    gCg = gc_g_in[0]
-    gCb = gc_b_in[0]
-    gD = gD_in[0]
-    G = G_in[0]
-    gTf = gTf_in[0]
+    gC4 = gc4_in[0]          # (8, NPIX): rows gCr, gCg, gCb, gD, 0...
+    G = G_in[0]              # (1, NPIX)
+    gTf = gTf_in[0]          # (1, NPIX)
 
     def dma_in(slot, c):
-        off = pl.multiple_of((start + c * CHUNK) * SLAB_W, CHUNK * SLAB_W)
-        boff = pl.multiple_of(slot * (CHUNK * SLAB_W), CHUNK * SLAB_W)
+        off = pl.multiple_of(start + c * CHUNK, CHUNK)
+        boff = pl.multiple_of(slot * SLAB_W, SLAB_W)
         return pltpu.make_async_copy(
-            slab_hbm.at[pl.ds(off, CHUNK * SLAB_W)],
-            buf.at[pl.ds(boff, CHUNK * SLAB_W)],
+            slab_hbm.at[:, pl.ds(off, CHUNK)],
+            buf.at[pl.ds(boff, SLAB_W)],
             sem.at[slot],
         )
 
@@ -242,8 +290,8 @@ def _bwd_kernel(
     def _():
         dma_in(0, 0).start()
 
-    ones = jnp.ones((8, 128), jnp.float32)
-    zeros = jnp.zeros((8, 128), jnp.float32)
+    ones_row = jnp.ones((1, NPIX), jnp.float32)
+    zeros_row = jnp.zeros((1, NPIX), jnp.float32)
 
     def chunk_body(state):
         c, T_raw, prefix = state
@@ -253,79 +301,89 @@ def _bwd_kernel(
             dma_in((c + 1) % 2, c + 1).start()
 
         dma_in(c % 2, c).wait()
-        sl = c % 2
-        base = c * CHUNK
+        boff = pl.multiple_of((c % 2) * SLAB_W, SLAB_W)
+        A = buf[pl.ds(boff, SLAB_W)]
+        AT = A.T
+        alpha = _alpha_matrix(A, AT, c * CHUNK, count, basis8, ox, oy)
 
-        def slot_body(k, carry):
-            T_raw, prefix = carry
-            o = sl * (CHUNK * SLAB_W) + k * SLAB_W
-            x = buf[o + _X]
-            y = buf[o + _Y]
-            a = buf[o + _A]
-            b = buf[o + _B]
-            cc = buf[o + _C]
-            opa = buf[o + _OPA]
-            val = buf[o + _VAL]
-            live = ((base + k) < count).astype(jnp.float32) * val
+        # per-pixel contribution term (gC·c_k + gD·z_k)(px): MXU
+        contrib = jax.lax.dot_general(
+            _color_lhs(A).T, gC4,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (CHUNK, NPIX)
 
-            dx = X - x
-            dy = Y - y
-            power = -0.5 * (a * dx * dx + cc * dy * dy) - b * dx * dy
-            alpha = jnp.minimum(ALPHA_MAX, opa * jnp.exp(power))
-            ok = (power <= 0.0) & (alpha >= ALPHA_MIN)
-            alpha = jnp.where(ok, alpha, 0.0) * live
-
-            U = T_raw * (1.0 - alpha)
+        # serial chain: weights, T_exc·inc, inclusive prefix rows
+        w_rows, tinc_rows, pref_rows = [], [], []
+        for k in range(CHUNK):
+            al = alpha[k:k + 1]
+            U = T_raw * (1.0 - al)
             inc = (U >= T_EPS).astype(jnp.float32)
-            w = alpha * T_raw * inc
+            w = al * T_raw * inc
+            w_rows.append(w)
+            tinc_rows.append(T_raw * inc)
+            prefix = prefix + contrib[k:k + 1] * w
+            pref_rows.append(prefix)
+            T_raw = U
+        W = jnp.concatenate(w_rows, axis=0)
+        Tinc = jnp.concatenate(tinc_rows, axis=0)
+        pref = jnp.concatenate(pref_rows, axis=0)
 
-            contrib = gCr * buf[o + _R] + gCg * buf[o + _G] \
-                + gCb * buf[o + _BL] + gD * buf[o + _DEP]
-            prefix = prefix + contrib * w
-            suffix = G - prefix
-            inv_1ma = 1.0 / jnp.maximum(1.0 - alpha, 1.0 - ALPHA_MAX)
-            g_alpha = inc * (contrib * T_raw - (suffix + gTf) * inv_1ma)
+        suffix = G - pref
+        inv_1ma = 1.0 / jnp.maximum(1.0 - alpha, 1.0 - ALPHA_MAX)
+        inc_m = (Tinc > 0.0).astype(jnp.float32)
+        g_alpha = inc_m * (contrib * Tinc - (suffix + gTf) * inv_1ma)
 
-            not_clamped = (alpha < ALPHA_MAX).astype(jnp.float32)
-            g_power = g_alpha * not_clamped * alpha
-            gx_px = g_power * (a * dx + b * dy)
-            gy_px = g_power * (cc * dy + b * dx)
+        not_clamped = (alpha < ALPHA_MAX).astype(jnp.float32)
+        g_power = g_alpha * not_clamped * alpha
 
-            go = k * SLAB_W  # gbuf is single-buffered (per-chunk)
-            gbuf[go + _X] = jnp.sum(gx_px)
-            gbuf[go + _Y] = jnp.sum(gy_px)
-            gbuf[go + _A] = jnp.sum(g_power * (-0.5 * dx * dx))
-            gbuf[go + _B] = jnp.sum(g_power * (-dx * dy))
-            gbuf[go + _C] = jnp.sum(g_power * (-0.5 * dy * dy))
-            gbuf[go + _OPA] = jnp.sum(
-                g_alpha * not_clamped * alpha / jnp.maximum(opa, 1e-12)
-            )
-            gbuf[go + _R] = jnp.sum(w * gCr)
-            gbuf[go + _G] = jnp.sum(w * gCg)
-            gbuf[go + _BL] = jnp.sum(w * gCb)
-            gbuf[go + _DEP] = jnp.sum(w * gD)
-            gbuf[go + _VAL] = jnp.sum(jnp.abs(gx_px))
-            gbuf[go + _VAL + 1] = jnp.sum(jnp.abs(gy_px))
+        a_c = AT[:, _A:_A + 1]
+        b_c = AT[:, _B:_B + 1]
+        c_c = AT[:, _C:_C + 1]
+        x_c = AT[:, _X:_X + 1] - ox
+        y_c = AT[:, _Y:_Y + 1] - oy
+        opa_c = AT[:, _OPA:_OPA + 1]
+        dx = X - x_c
+        dy = Y - y_c
+        gx_px = g_power * (a_c * dx + b_c * dy)
+        gy_px = g_power * (c_c * dy + b_c * dx)
 
-            return (U, prefix)
+        rsum = lambda v: jnp.sum(v, axis=1, keepdims=True)   # (CHUNK, 1)
+        zc = jnp.zeros((CHUNK, 1), jnp.float32)
+        gradT = jnp.concatenate(
+            [
+                rsum(gx_px),
+                rsum(gy_px),
+                rsum(g_power * (-0.5) * dx * dx),
+                rsum(g_power * (-1.0) * dx * dy),
+                rsum(g_power * (-0.5) * dy * dy),
+                rsum(g_power) / jnp.maximum(opa_c, 1e-12),
+                rsum(W * gC4[0:1]),
+                rsum(W * gC4[1:2]),
+                rsum(W * gC4[2:3]),
+                rsum(W * gC4[3:4]),
+                rsum(jnp.abs(gx_px)),
+                rsum(jnp.abs(gy_px)),
+                zc, zc, zc, zc,
+            ],
+            axis=1,
+        )  # (CHUNK, SLAB_W)
+        gbuf[:, :] = gradT.T
 
-        T_raw, prefix = jax.lax.fori_loop(
-            0, CHUNK, slot_body, (T_raw, prefix), unroll=CHUNK
-        )
-
-        off = pl.multiple_of((start + c * CHUNK) * SLAB_W, CHUNK * SLAB_W)
+        off = pl.multiple_of(start + c * CHUNK, CHUNK)
         out_dma = pltpu.make_async_copy(
-            gbuf, grad_hbm.at[pl.ds(off, CHUNK * SLAB_W)], gsem
+            gbuf, grad_hbm.at[:, pl.ds(off, CHUNK)], gsem
         )
         out_dma.start()
         out_dma.wait()
         return (c + 1, T_raw, prefix)
 
     def cond(state):
-        c, T_raw, _ = state
+        c, T_raw = state[0], state[1]
         return (c < n_chunks) & (jnp.max(T_raw) >= T_EPS)
 
-    c, _, _ = jax.lax.while_loop(cond, chunk_body, (0, ones, zeros))
+    c, _, _ = jax.lax.while_loop(cond, chunk_body, (0, ones_row, zeros_row))
 
     @pl.when(c < n_chunks)
     def _():
@@ -338,50 +396,61 @@ def pallas_composite_bwd(
 ):
     """Backward: per-slot gradient slab (P, 16).
 
-    Columns mirror the input slab; [_VAL] and [_VAL+1] carry the AbsGS
-    |d/dx|, |d/dy| accumulations.  Slots beyond a tile's early-termination
-    point keep their zero initialization (grad_hbm is zero-initialized via
-    input-output aliasing).
+    Columns mirror the input slab; [_VAL], [_VAL+1] carry the AbsGS
+    |d/dx|, |d/dy| accumulations.  Slots past a tile's early-termination
+    point keep zeros (the grad output is aliased to a zero buffer).
+    ``gA`` is pre-folded into ``gTf`` by the caller.
     """
     assert tile_size == 32
     num_tiles = tiles_x * tiles_y
-    P = slab.shape[0]
-    slab_p = jnp.concatenate(
-        [slab, jnp.zeros((CHUNK, SLAB_W), slab.dtype)], axis=0
-    ).reshape(-1)
-    zeros_grad = jnp.zeros(((P + CHUNK) * SLAB_W,), jnp.float32)
+    slab_t = slab  # (SLAB_W, P_pad) attribute-major
+    P_pad = slab_t.shape[1]
+    zeros_grad = jnp.zeros((SLAB_W, P_pad), jnp.float32)
+    del gA_tiled  # folded into gTf by the caller
+
+    gc4 = jnp.concatenate(
+        [
+            gc_tiled[..., 0][:, None], gc_tiled[..., 1][:, None],
+            gc_tiled[..., 2][:, None], gD_tiled[:, None],
+            jnp.zeros((num_tiles, 4, NPIX), jnp.float32),
+        ],
+        axis=1,
+    )  # (num_tiles, 8, NPIX)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),      # slab
-            *[
-                pl.BlockSpec((1, 8, 128), lambda t, *prefetch: (t, 0, 0),
-                             memory_space=pltpu.VMEM)
-                for _ in range(7)
-            ],
-            pl.BlockSpec(memory_space=pltpu.HBM),      # zeros (aliased out)
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((1, 8, NPIX), lambda t, *p: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NPIX), lambda t, *p: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NPIX), lambda t, *p: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.SMEM((2 * CHUNK * SLAB_W,), jnp.float32),
-            pltpu.SMEM((CHUNK * SLAB_W,), jnp.float32),
+            pltpu.VMEM((2 * SLAB_W, CHUNK), jnp.float32),
+            pltpu.VMEM((SLAB_W, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
     kernel = functools.partial(_bwd_kernel, tiles_x=tiles_x, ts=tile_size)
-    grad = pl.pallas_call(
+    grad_t = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(((P + CHUNK) * SLAB_W,), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((SLAB_W, P_pad), jnp.float32),
         grid_spec=grid_spec,
-        input_output_aliases={10: 0},  # zeros_grad (arg 10 incl. prefetch) -> out
+        input_output_aliases={6: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=_interpret(),
     )(
-        tile_starts, tile_counts, slab_p,
-        gc_tiled[..., 0], gc_tiled[..., 1], gc_tiled[..., 2],
-        gA_tiled, gD_tiled, G_tiled, gTf_tiled, zeros_grad,
+        tile_starts, tile_counts, slab_t,
+        gc4,
+        G_tiled.reshape(num_tiles, 1, NPIX),
+        gTf_tiled.reshape(num_tiles, 1, NPIX),
+        zeros_grad,
     )
-    return grad.reshape(-1, SLAB_W)[:P]
+    return grad_t

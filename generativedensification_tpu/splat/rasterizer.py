@@ -82,26 +82,24 @@ def rasterize(
     )
     bins = bin_gaussians(proj, H, W, tile_size=tile_size, max_tiles=max_tiles)
 
-    ids = bins.sorted_ids
-    slot_xy = jnp.take(proj.xy, ids, axis=0)
-    slot_conic = jnp.take(proj.conic, ids, axis=0)
-    slot_color = jnp.take(proj.color, ids, axis=0)
-    slot_opa = jnp.take(proj.opacity, ids, axis=0)
-    slot_depth = jnp.take(proj.depth, ids, axis=0)
-    if screen_abs is None:
-        slot_abs = jnp.zeros_like(slot_xy)
-    else:
-        slot_abs = jnp.take(screen_abs.astype(jnp.float32), ids, axis=0)
+    xy_abs = (
+        jnp.zeros_like(proj.xy)
+        if screen_abs is None
+        else screen_abs.astype(jnp.float32)
+    )
+    # invalid (culled) Gaussians never enter any tile segment, so no extra
+    # masking is needed here; opacity is zeroed for numerical hygiene only
+    opacity_eff = jnp.where(proj.valid, proj.opacity, 0.0)
 
     image, alpha, depth = composite_tiles(
-        slot_xy,
-        slot_abs,
-        slot_conic,
-        slot_color,
-        slot_opa,
-        slot_depth,
+        proj.xy,
+        xy_abs,
+        proj.conic,
+        proj.color,
+        opacity_eff,
+        proj.depth,
         bg.astype(jnp.float32),
-        (bins.tile_starts, bins.tile_counts, bins.sorted_valid),
+        (bins.sorted_ids, bins.tile_starts, bins.tile_counts),
         bins.tiles_x,
         bins.tiles_y,
         tile_size,

@@ -10,24 +10,28 @@ from generativedensification_tpu.splat.composite import composite_tiles
 
 TS = 32
 TILES = 2  # 2x2 tiles = 64x64 image
+N = 96     # gaussians
+P = 192    # slots
 
 
-def _data(P=192, seed=0):
+def _data(seed=0):
     rng = np.random.default_rng(seed)
     counts = jnp.asarray([70, 50, 0, 60], jnp.int32)
     starts = jnp.asarray([0, 70, 120, 120], jnp.int32)
-    xy = jnp.asarray(rng.uniform(0, 64, (P, 2)), jnp.float32)
-    conic = jnp.tile(jnp.asarray([[0.08, 0.01, 0.06]], jnp.float32), (P, 1))
-    color = jnp.asarray(rng.uniform(0, 1, (P, 3)), jnp.float32)
-    opa = jnp.asarray(rng.uniform(0.2, 0.95, P), jnp.float32)
-    depth = jnp.asarray(rng.uniform(1, 3, P), jnp.float32)
-    valid = jnp.asarray(rng.uniform(size=P) > 0.1)
+    # each live slot references some gaussian; dead tail references 0
+    ids = np.zeros(P, np.int32)
+    ids[:180] = rng.integers(0, N, 180)
+    xy = jnp.asarray(rng.uniform(0, 64, (N, 2)), jnp.float32)
+    conic = jnp.tile(jnp.asarray([[0.08, 0.01, 0.06]], jnp.float32), (N, 1))
+    color = jnp.asarray(rng.uniform(0, 1, (N, 3)), jnp.float32)
+    opa = jnp.asarray(rng.uniform(0.2, 0.95, N), jnp.float32)
+    depth = jnp.asarray(rng.uniform(1, 3, N), jnp.float32)
     bg = jnp.asarray([0.3, 0.6, 0.9])
-    return xy, conic, color, opa, depth, valid, bg, (starts, counts, valid)
+    return xy, conic, color, opa, depth, bg, (jnp.asarray(ids), starts, counts)
 
 
 def _run(backend, data):
-    xy, conic, color, opa, depth, valid, bg, bins = data
+    xy, conic, color, opa, depth, bg, bins = data
     return composite_tiles(
         xy, jnp.zeros_like(xy), conic, color, opa, depth, bg, bins,
         TILES, TILES, TS, 128, 32, backend,
@@ -41,12 +45,12 @@ class TestPallasParity:
         op = _run("pallas", data)
         for a, b, name in zip(ox, op, ["image", "alpha", "depth"]):
             np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), atol=1e-5, err_msg=name
+                np.asarray(a), np.asarray(b), atol=2e-4, err_msg=name
             )
 
     def test_gradients_match_xla(self):
         data = _data(seed=3)
-        xy, conic, color, opa, depth, valid, bg, bins = data
+        xy, conic, color, opa, depth, bg, bins = data
         rng = np.random.default_rng(1)
         w = jnp.asarray(rng.normal(size=(64, 64, 3)), jnp.float32)
 
@@ -65,6 +69,8 @@ class TestPallasParity:
         for a, b, name in zip(gx, gp, names):
             scale = max(1e-6, float(jnp.abs(a).max()))
             np.testing.assert_allclose(
-                np.asarray(a) / scale, np.asarray(b) / scale, atol=2e-5,
+                np.asarray(a) / scale, np.asarray(b) / scale, atol=5e-5,
                 err_msg=f"grad {name}",
             )
+        # AbsGS channel sanity: abs >= |signed|
+        assert (np.asarray(gp[1]) + 1e-9 >= np.abs(np.asarray(gp[0])) - 1e-5).all()
