@@ -96,7 +96,10 @@ def _aligned_layout(tile_starts, tile_counts, P, num_tiles):
     tile_of = jnp.clip(jnp.cumsum(marks[:P]) - 1, 0, num_tiles - 1)
     within = idx - tile_starts[tile_of]
     live = (within >= 0) & (within < tile_counts[tile_of])
-    pos = jnp.where(live, astarts[tile_of] + within, P_al)
+    # dead-slot sentinel is OUT of bounds of the (P_al + CHUNK) slab so
+    # mode="drop" discards the writes entirely (keeps indices unique for the
+    # scatter's unique_indices promise)
+    pos = jnp.where(live, astarts[tile_of] + within, P_al + CHUNK)
     return astarts, pos, live, P_al
 
 
@@ -420,8 +423,10 @@ def _pallas_slab(xy, conic, color, opacity, depth, bins_arrays, num_tiles):
     )
     table = _pack_table(xy, conic, color, opacity, depth)
     rows = jnp.take(table, ids, axis=0)                  # one row gather
+    # aligned positions are strictly increasing over live slots and unique —
+    # without these hints XLA serializes the scatter (profiled ~67ms)
     slab = jnp.zeros((P_al + CHUNK, 16), jnp.float32).at[pos].set(
-        rows, mode="drop"
+        rows, mode="drop", unique_indices=True, indices_are_sorted=True
     )
     return slab.T, astarts, pos, live, P_al
 

@@ -1,0 +1,45 @@
+import sys; sys.path.insert(0, "/root/repo")
+import re
+import numpy as np, jax, jax.numpy as jnp
+from generativedensification_tpu.core.camera import Camera
+from generativedensification_tpu.core.transforms import normalize_quat
+from generativedensification_tpu.splat import rasterize
+
+rng = np.random.default_rng(0)
+n = 131072; H = W = 512
+means = jnp.asarray(rng.uniform(-0.45, 0.45, size=(n, 3)), jnp.float32)
+shs = jnp.asarray(rng.normal(size=(n, 4, 3)) * 0.3 + 0.2, jnp.float32)
+opa = jax.nn.sigmoid(jnp.asarray(rng.normal(size=(n,)) - 1.0, jnp.float32))
+scales = jnp.exp(jnp.asarray(rng.uniform(np.log(0.002), np.log(0.01), size=(n, 3)), jnp.float32))
+quats = normalize_quat(jnp.asarray(rng.normal(size=(n, 4)), jnp.float32))
+c2w = np.eye(4, dtype=np.float32); c2w[2, 3] = -1.9
+cam = Camera.from_c2w(jnp.asarray(c2w), 0.8, 0.8, W, H, znear=0.1, zfar=10.0)
+kw = dict(tile_size=32, max_tiles=8, max_per_tile=4096, chunk=32)
+fp = jax.jit(lambda m: rasterize(m, shs, opa, scales, quats, cam, jnp.ones(3), 1, backend="pallas", **kw).image)
+txt = fp.lower(means).compile().as_text()
+# print each fusion computation's op histogram
+import collections
+cur = None
+hist = collections.Counter()
+shapes = {}
+for line in txt.splitlines():
+    m = re.match(r"^%?(fused_computation[^ ]*|.*fusion[^ ]*) ", line)
+    if line.startswith("%fused_computation") or line.startswith("fused_computation"):
+        cur = line.split(" ")[0]
+        hist[cur] = collections.Counter()
+        continue
+    if cur and line.startswith("}"):
+        cur = None
+        continue
+    if cur is not None and "=" in line:
+        op = line.split("=")[1].strip().split("(")[0].split(" ")[1] if len(line.split("=")) > 1 else "?"
+        hist[cur][op] += 1
+# find which fusion instr maps to which computation
+for line in txt.splitlines():
+    m = re.search(r"%(fusion[^ =]*) = [^ ]+ fusion\(.*calls=%?([^,\)]+)", line)
+    if m:
+        fname, comp = m.groups()
+        h = hist.get("%"+comp, hist.get(comp))
+        if h:
+            tops = ", ".join(f"{k}:{v}" for k, v in h.most_common(6))
+            print(fname, "->", comp[:60], "|", tops)
