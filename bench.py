@@ -62,7 +62,7 @@ def main():
             bg,
             sh_degree=1,
             tile_size=32,
-            max_tiles=8,
+            max_tiles=4,  # overflow==0 verified for this scene (bin_gaussians overflow counter)
             max_per_tile=4096,
             chunk=32,
         )

@@ -29,6 +29,10 @@ class TileBins:
     """Depth-ordered tile slabs for one view."""
 
     sorted_ids: jnp.ndarray    # (P,) gaussian index per sorted slot
+    sorted_o: jnp.ndarray      # (P,) original (N*max_tiles) slot index per
+                               # sorted slot (sorted_ids == sorted_o // D);
+                               # lets the backward invert the sort with a
+                               # cheap 1-D sort instead of a 17ms row scatter
     sorted_valid: jnp.ndarray  # (P,) bool, live slot
     tile_starts: jnp.ndarray   # (num_tiles,) first sorted-slot of each tile
     tile_counts: jnp.ndarray   # (num_tiles,) number of live slots per tile
@@ -98,11 +102,10 @@ def bin_gaussians(
     keys = jnp.where(
         slot_valid, tile_id * n_pow2 + rank[:, None], dead_key
     ).reshape(-1)
-    ids = jnp.broadcast_to(
-        jnp.arange(N, dtype=jnp.int32)[:, None], (N, max_tiles)
-    ).reshape(-1)
+    o = jnp.arange(N * max_tiles, dtype=jnp.int32)   # flat (gaussian, slot)
 
-    sorted_keys, sorted_ids = jax.lax.sort_key_val(keys, ids)
+    sorted_keys, sorted_o = jax.lax.sort_key_val(keys, o)
+    sorted_ids = sorted_o // max_tiles
     sorted_valid = sorted_keys != dead_key
     sorted_tile = jnp.where(
         sorted_valid, sorted_keys // n_pow2, jnp.int32(num_tiles)
@@ -118,6 +121,7 @@ def bin_gaussians(
 
     return TileBins(
         sorted_ids=sorted_ids,
+        sorted_o=sorted_o,
         sorted_valid=sorted_valid,
         tile_starts=tile_starts,
         tile_counts=tile_ends - tile_starts,

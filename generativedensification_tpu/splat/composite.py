@@ -8,11 +8,14 @@ One ``jax.custom_vjp`` covers two backends that share bit-level semantics:
   * ``backend="pallas"`` — the TPU kernels in ``pallas_kernels.py``:
     per-tile grid programs with dynamic trip counts and early termination.
 
-Data plane (profiled on v5e — gathers dominate if done naively): inputs are
-*per-Gaussian* arrays; they are packed into one (N, 16) attribute table and
-moved into sorted-slot order with a single row gather (separate per-channel
-gathers cost ~10x more on TPU).  The backward ends with one row scatter-add
-back to Gaussian order, so callers never touch slot space.
+Data plane (profiled on v5e — gathers/scatters dominate if done naively):
+inputs are packed into one attribute-major (16, N) table and moved into
+CHUNK-aligned slot order with two chained axis-1 gathers (table -> sorted
+-> aligned; see ``_slab_maps`` / ``_slab_from_maps``).  The backward maps
+the per-slot grad slab back to Gaussians with transpose -> row gather ->
+slot-sum, each stage bounded by Pallas kernels that pin row-major layouts
+(XLA otherwise rewrites these chains into serialized row scatters or
+column-major strided gathers — 5-17ms each at 1M slots).
 
 Semantics pinned to the 3DGS CUDA rasterizer (reference call site
 ``lightning/renderer.py:250-259``):
@@ -63,6 +66,26 @@ def _pack_table(xy, conic, color, opacity, depth, valid=None):
     )
 
 
+def _pack_table_t(xy, conic, color, opacity, depth):
+    """Attribute-major (16, N) table (same row order as ``_pack_table``
+    columns).  Built directly in the kernel's slab orientation so the
+    aligned-slot gather never needs a transposed output layout."""
+    N = xy.shape[0]
+    f = lambda v: v.astype(jnp.float32)
+    one = jnp.ones((N,), jnp.float32)
+    zero = jnp.zeros((N,), jnp.float32)
+    return jnp.stack(
+        [
+            f(xy[:, 0]), f(xy[:, 1]),
+            f(conic[:, 0]), f(conic[:, 1]), f(conic[:, 2]),
+            f(opacity),
+            f(color[:, 0]), f(color[:, 1]), f(color[:, 2]),
+            f(depth), one, zero, zero, zero, zero, zero,
+        ],
+        axis=0,
+    )
+
+
 def _unpack_grads(g):
     """(…, 16) grad rows -> (d_xy, d_abs, d_conic, d_color, d_opa, d_depth).
 
@@ -78,29 +101,45 @@ def _unpack_grads(g):
     )
 
 
-def _aligned_layout(tile_starts, tile_counts, P, num_tiles):
-    """CHUNK-align every tile's slab segment (Mosaic DMA offsets must be
-    divisible by the memref tiling).  Returns (aligned_starts, per-sorted-
-    slot aligned position (P_al for dead slots), live mask, P_al)."""
+def _grad_slab_width(P, num_tiles):
+    """Static width of the backward's aligned grad slab."""
+    from .pallas_kernels import CHUNK, TBLK
+
+    # each tile's aligned segment is cdiv(head + count, CHUNK) chunks with
+    # head < CHUNK, so the total extent is bounded by P + 2*CHUNK per tile
+    bound = P + 2 * CHUNK * num_tiles + CHUNK
+    return (bound + TBLK - 1) // TBLK * TBLK
+
+
+def _aligned_layout(tile_starts, tile_counts, sorted_valid, P, num_tiles):
+    """Per-tile aligned grad-segment starts + the aligned position of every
+    sorted slot (sentinel M-1 for dead slots).
+
+    The kernels READ the sorted-order slab directly (DMA from the
+    aligned-down offset, head rows masked); only the backward's grad
+    OUTPUT needs disjoint CHUNK-aligned segments.  A tile's segment holds
+    ``cdiv(head + count, CHUNK)`` chunks and sorted slot ``s`` lands at
+    ``astarts[t] + (s - base_t)``.  ``astarts - base`` is non-decreasing,
+    so the per-slot value is a 256-element scatter + ``cummax`` — per-slot
+    gathers from the tiny tile tables cost ~10ms at 1M slots, this ~1ms."""
     from .pallas_kernels import CHUNK
 
-    padded = ((tile_counts + CHUNK - 1) // CHUNK) * CHUNK
+    M = _grad_slab_width(P, num_tiles)
+    head = tile_starts % CHUNK
+    base = tile_starts - head
+    padded = ((head + tile_counts + CHUNK - 1) // CHUNK) * CHUNK
     astarts = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(padded)[:-1].astype(jnp.int32)]
     )
-    P_al = P + CHUNK * num_tiles
+    delta = astarts - base
+    dvec = jnp.full((P,), jnp.iinfo(jnp.int32).min, jnp.int32).at[tile_starts].max(
+        delta, mode="drop"
+    )
+    dprop = jax.lax.cummax(dvec)
     idx = jnp.arange(P, dtype=jnp.int32)
-    # tile of each sorted slot: "number of segment starts <= idx" - 1 via
-    # scatter + cumsum (a 1M-query searchsorted costs ~100ms here)
-    marks = jnp.zeros(P + 1, jnp.int32).at[tile_starts].add(1)
-    tile_of = jnp.clip(jnp.cumsum(marks[:P]) - 1, 0, num_tiles - 1)
-    within = idx - tile_starts[tile_of]
-    live = (within >= 0) & (within < tile_counts[tile_of])
-    # dead-slot sentinel is OUT of bounds of the (P_al + CHUNK) slab so
-    # mode="drop" discards the writes entirely (keeps indices unique for the
-    # scatter's unique_indices promise)
-    pos = jnp.where(live, astarts[tile_of] + within, P_al + CHUNK)
-    return astarts, pos, live, P_al
+    # dead slots hit M-1: past every aligned segment, never written, zero
+    pos = jnp.where(sorted_valid, idx + dprop, M - 1)
+    return astarts, pos
 
 
 def _tile_pixel_coords(tiles_x: int, tiles_y: int, ts: int):
@@ -157,7 +196,8 @@ def composite_tiles(
       xy_abs: (N, 2) zeros; its cotangent returns the AbsGS absolute
         screen-space gradients.
       bg: (3,) background color.
-      bins_arrays: (sorted_ids, tile_starts, tile_counts) from ``TileBins``.
+      bins_arrays: (sorted_ids, sorted_o, sorted_valid, tile_starts,
+        tile_counts) from ``TileBins``.
     Returns:
       image (H, W, 3), alpha (H, W), depth (H, W).
     """
@@ -206,7 +246,7 @@ def _bwd_common(saved, cot, tiles_x, tiles_y, ts):
     """Shared backward preamble: tiled cotangents + closed-form totals."""
     xy, conic, color, opacity, depth, bg, bins_arrays, res = saved
     gC_img, gA_img, gD_img = cot
-    C_fin, D_fin, T_fin = res
+    C_fin, D_fin, T_fin = res[:3]
     gC = _tile(gC_img, tiles_x, tiles_y, ts)               # (T, npix, 3)
     gA = _tile(gA_img[..., None], tiles_x, tiles_y, ts)[..., 0]
     gD = _tile(gD_img[..., None], tiles_x, tiles_y, ts)[..., 0]
@@ -218,11 +258,11 @@ def _bwd_common(saved, cot, tiles_x, tiles_y, ts):
     return gC, gA, gD, G, gTf, d_bg
 
 
-def _grad_outputs(grad_rows, d_bg, bins_arrays):
-    """Per-Gaussian grad rows (N, 16) -> custom_vjp output tuple."""
+def _grad_outputs(unpacked, d_bg, bins_arrays):
+    """Unpacked per-Gaussian grads -> custom_vjp output tuple."""
     import numpy as np
 
-    d_xy, d_abs, d_con, d_col, d_opa, d_dep = _unpack_grads(grad_rows)
+    d_xy, d_abs, d_con, d_col, d_opa, d_dep = unpacked
     d_bins = tuple(
         np.zeros(np.shape(b), jax.dtypes.float0) for b in bins_arrays
     )
@@ -257,7 +297,7 @@ def _chunk_alpha_cols(tab, X, Y):
 
 def _xla_fwd(xy, conic, color, opacity, depth, bg, bins_arrays,
              tiles_x, tiles_y, tile_size, max_per_tile, chunk):
-    ids, tile_starts, tile_counts = bins_arrays
+    ids, _, _, tile_starts, tile_counts = bins_arrays
     ts = tile_size
     num_tiles = tiles_x * tiles_y
     n_chunks = -(-max_per_tile // chunk)
@@ -316,9 +356,9 @@ def _xla_fwd(xy, conic, color, opacity, depth, bg, bins_arrays,
 
 def _xla_bwd(saved, cot, tiles_x, tiles_y, ts, max_per_tile, chunk):
     xy, conic, color, opacity, depth, bg, bins_arrays, res = saved
-    ids, tile_starts, tile_counts = bins_arrays
+    ids, _, _, tile_starts, tile_counts = bins_arrays
     gC, gA, gD, G, gTf, d_bg = _bwd_common(saved, cot, tiles_x, tiles_y, ts)
-    C_fin, D_fin, T_fin = res
+    C_fin, D_fin, T_fin = res[:3]
     num_tiles = tiles_x * tiles_y
     n_chunks = -(-max_per_tile // chunk)
     X, Y = _tile_pixel_coords(tiles_x, tiles_y, ts)
@@ -405,7 +445,7 @@ def _xla_bwd(saved, cot, tiles_x, tiles_y, ts, max_per_tile, chunk):
     # slot grads -> per-Gaussian grads (one row scatter-add)
     N = xy.shape[0]
     grad_rows = jnp.zeros((N, 16), jnp.float32).at[ids].add(d_slab)
-    return _grad_outputs(grad_rows, d_bg, bins_arrays)
+    return _grad_outputs(_unpack_grads(grad_rows), d_bg, bins_arrays)
 
 
 # ---------------------------------------------------------------------------
@@ -413,35 +453,45 @@ def _xla_bwd(saved, cot, tiles_x, tiles_y, ts, max_per_tile, chunk):
 # ---------------------------------------------------------------------------
 
 
-def _pallas_slab(xy, conic, color, opacity, depth, bins_arrays, num_tiles):
+def _slab_maps(bins_arrays, num_tiles):
+    """Backward index maps: (astarts, apos (P,)).
+
+    ``apos[o]`` is the aligned grad-slab position of original slot ``o``
+    (M-1 = a never-written, zero row for dead slots).  Everything here is
+    1-D int32 sorts/cummaxes — the many-row scatter/gather formulations
+    all hit serialized or strided XLA paths (5-17ms at 1M slots)."""
+    ids, sorted_o, sorted_valid, tile_starts, tile_counts = bins_arrays
+    P = ids.shape[0]
+    astarts, pos = _aligned_layout(
+        tile_starts, tile_counts, sorted_valid, P, num_tiles
+    )
+    apos = jax.lax.sort_key_val(sorted_o, pos)[1]
+    return astarts, apos
+
+
+def _sorted_slab(xy, conic, color, opacity, depth, ids):
+    """(16, P_slab) attribute-major sorted-order table: ONE small-operand
+    axis-1 gather (~1.9ms at 1M slots), lane-padded by a safety CHUNK for
+    the kernels' aligned-down overrunning DMA."""
     from .pallas_kernels import CHUNK
 
-    ids, tile_starts, tile_counts = bins_arrays
     P = ids.shape[0]
-    astarts, pos, live, P_al = _aligned_layout(
-        tile_starts, tile_counts, P, num_tiles
-    )
-    table = _pack_table(xy, conic, color, opacity, depth)
-    rows = jnp.take(table, ids, axis=0)                  # one row gather
-    # aligned positions are strictly increasing over live slots and unique —
-    # without these hints XLA serializes the scatter (profiled ~67ms)
-    slab = jnp.zeros((P_al + CHUNK, 16), jnp.float32).at[pos].set(
-        rows, mode="drop", unique_indices=True, indices_are_sorted=True
-    )
-    return slab.T, astarts, pos, live, P_al
+    pad = (-P) % CHUNK + CHUNK
+    table_t = _pack_table_t(xy, conic, color, opacity, depth)
+    sorted_t = jnp.take(table_t, ids, axis=1, mode="clip")
+    return jnp.pad(sorted_t, ((0, 0), (0, pad)))
 
 
 def _pallas_fwd(xy, conic, color, opacity, depth, bg, bins_arrays,
                 tiles_x, tiles_y, tile_size):
     from .pallas_kernels import pallas_composite_fwd
 
-    _, tile_starts, tile_counts = bins_arrays
+    ids, _, _, tile_starts, tile_counts = bins_arrays
     num_tiles = tiles_x * tiles_y
-    slab_t, astarts, _, _, _ = _pallas_slab(
-        xy, conic, color, opacity, depth, bins_arrays, num_tiles
-    )
+    astarts, apos = _slab_maps(bins_arrays, num_tiles)
+    slab_t = _sorted_slab(xy, conic, color, opacity, depth, ids)
     Cr, Cg, Cb, alpha_t, D, T_eff = pallas_composite_fwd(
-        slab_t, astarts, tile_counts, tiles_x, tiles_y, tile_size
+        slab_t, tile_starts, tile_counts, tiles_x, tiles_y, tile_size
     )
     npix = tile_size * tile_size
     C = jnp.stack([Cr, Cg, Cb], axis=-1).reshape(num_tiles, npix, 3)
@@ -454,29 +504,43 @@ def _pallas_fwd(xy, conic, color, opacity, depth, bg, bins_arrays,
         _untile(alpha_t[..., None], tiles_x, tiles_y, tile_size, 1)[..., 0],
         _untile(D[..., None], tiles_x, tiles_y, tile_size, 1)[..., 0],
     )
-    return out, (C, D, T_eff)
+    # index maps ride the residuals so the backward skips the aligned-
+    # layout recompute (int32 maps, ~8MB at 512² — negligible next to the
+    # activations)
+    return out, (C, D, T_eff, astarts, apos)
 
 
 def _pallas_bwd(saved, cot, tiles_x, tiles_y, ts):
-    from .pallas_kernels import pallas_composite_bwd
+    from .pallas_kernels import (
+        RED_BN, pallas_composite_bwd, pallas_reduce_slots,
+    )
 
     xy, conic, color, opacity, depth, bg, bins_arrays, res = saved
-    ids, tile_starts, tile_counts = bins_arrays
+    ids, _, _, tile_starts, tile_counts = bins_arrays
+    C_fin, D_fin, T_fin, astarts, apos = res
     gC, gA, gD, G, gTf, d_bg = _bwd_common(saved, cot, tiles_x, tiles_y, ts)
-    num_tiles = tiles_x * tiles_y
 
-    slab_t, astarts, pos, live, P_al = _pallas_slab(
-        xy, conic, color, opacity, depth, bins_arrays, num_tiles
-    )
-    grad_t = pallas_composite_bwd(
-        slab_t, astarts, tile_counts, gC, gA, gD, G, gTf,
+    num_tiles = tiles_x * tiles_y
+    M = _grad_slab_width(ids.shape[0], num_tiles)
+    slab_t = _sorted_slab(xy, conic, color, opacity, depth, ids)
+    grad_al = pallas_composite_bwd(
+        slab_t, tile_starts, tile_counts, astarts, M, gC, gA, gD, G, gTf,
         tiles_x, tiles_y, ts,
-    )  # (16, P_al + CHUNK)
-    # aligned grads -> slot rows -> per-Gaussian rows (gather + scatter-add)
-    posc = jnp.clip(pos, 0, P_al - 1)
-    slot_rows = jnp.where(
-        live[:, None], jnp.take(grad_t.T, posc, axis=0), 0.0
-    )  # (P, 16)
+    )  # (16, M) attribute-major
+    # aligned grads -> per-Gaussian grads WITHOUT a row scatter (TPU row
+    # scatters serialize, ~17ms at 1M slots): gather rows back into the
+    # original (N, D) slot-expansion order via the precomputed inverse
+    # map, then reduce the D slot axis in a Pallas kernel.  The ``.T`` is
+    # free: XLA's gather insists on a {0,1} (M, 16) operand, whose bytes
+    # are exactly the kernel's attribute-major (16, M) output.
+    grad_rows_al = grad_al.T                               # (M, 16)
     N = xy.shape[0]
-    grad_rows = jnp.zeros((N, 16), jnp.float32).at[ids].add(slot_rows)
-    return _grad_outputs(grad_rows, d_bg, bins_arrays)
+    D_slots = apos.shape[0] // N
+    N_pad = -(-N // RED_BN) * RED_BN
+    if N_pad != N:
+        apos = jnp.concatenate(
+            [apos, jnp.full(((N_pad - N) * D_slots,), M - 1, jnp.int32)]
+        )
+    rows = jnp.take(grad_rows_al, apos, axis=0, mode="clip")
+    grad_rows = pallas_reduce_slots(rows, N_pad, D_slots)[:N]
+    return _grad_outputs(_unpack_grads(grad_rows), d_bg, bins_arrays)

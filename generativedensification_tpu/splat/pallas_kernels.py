@@ -78,11 +78,15 @@ def _basis8(X, Y):
     )  # (8, NPIX)
 
 
-def _alpha_matrix(A, AT, base, count, basis8, ox, oy):
+def _alpha_matrix(A, AT, offset, count, basis8, ox, oy):
     """alpha (CHUNK, NPIX) for one slab chunk.
 
     A: (SLAB_W, CHUNK) attribute rows; AT: (CHUNK, SLAB_W).
     ox/oy: tile origin (coordinates are tile-local).
+    ``offset`` is the signed position of the chunk's first row within the
+    tile's live span: row r is live iff 0 <= offset + r < count (chunks
+    start at the aligned-down slab offset, so the first chunk's head rows
+    belong to the previous tile and are masked off).
     """
     a_r = A[_A:_A + 1]
     b_r = A[_B:_B + 1]
@@ -115,7 +119,8 @@ def _alpha_matrix(A, AT, base, count, basis8, ox, oy):
     # full-width iota: (CHUNK, 1)-shaped iotas mis-lower on TPU (lane dim
     # below the minimum tile), so build the live mask at (CHUNK, NPIX)
     row_idx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, NPIX), 0)
-    live = ((base + row_idx) < count).astype(jnp.float32)
+    pos = offset + row_idx
+    live = ((pos >= 0) & (pos < count)).astype(jnp.float32)
 
     # power = -quadratic_form <= 0 mathematically (PSD conic); positives are
     # pure rounding noise from the matmul form, so clamp instead of the
@@ -142,14 +147,16 @@ def _fwd_kernel(
     *, tiles_x: int, ts: int,
 ):
     t = pl.program_id(0)
-    start = pl.multiple_of(starts_ref[t], CHUNK)
+    start = starts_ref[t]                 # sorted-order start (unaligned)
+    head = jax.lax.rem(start, CHUNK)
+    base = start - head                   # aligned-down DMA origin
     count = counts_ref[t]
     X, Y, ox, oy = _pixel_rows(t, tiles_x, ts)
     basis8 = _basis8(X, Y)
-    n_chunks = pl.cdiv(count, CHUNK)
+    n_chunks = pl.cdiv(head + count, CHUNK)
 
     def dma(slot, c):
-        off = pl.multiple_of(start + c * CHUNK, CHUNK)
+        off = pl.multiple_of(base + c * CHUNK, CHUNK)
         boff = pl.multiple_of(slot * SLAB_W, SLAB_W)
         return pltpu.make_async_copy(
             slab_hbm.at[:, pl.ds(off, CHUNK)],
@@ -174,7 +181,7 @@ def _fwd_kernel(
         boff = pl.multiple_of((c % 2) * SLAB_W, SLAB_W)
         A = buf[pl.ds(boff, SLAB_W)]             # (SLAB_W, CHUNK)
         AT = A.T
-        alpha = _alpha_matrix(A, AT, c * CHUNK, count, basis8, ox, oy)
+        alpha = _alpha_matrix(A, AT, c * CHUNK - head, count, basis8, ox, oy)
 
         # serial transmittance chain (front-to-back over rows)
         w_rows = []
@@ -215,8 +222,12 @@ def _fwd_kernel(
 
 def pallas_composite_fwd(slab, tile_starts, tile_counts, tiles_x, tiles_y,
                          tile_size: int = 32):
-    """slab (SLAB_W, P_pad) attribute-major aligned slot data -> pixel maps.
+    """slab (SLAB_W, P_pad) attribute-major SORTED-order table -> pixel maps.
 
+    ``tile_starts`` are the (unaligned) sorted-order segment starts; each
+    tile DMAs from the aligned-down offset and masks the head rows, so no
+    aligned re-gather of the slab is ever materialized (a 1M-slot gather
+    costs ~6.5ms on XLA whatever the layout).
     Returns (Cr, Cg, Cb, alpha, depth, T_eff), each (num_tiles, 8, 128).
     """
     assert tile_size == 32, "pallas path is specialized to 32px tiles"
@@ -259,26 +270,101 @@ def pallas_composite_fwd(slab, tile_starts, tile_counts, tiles_x, tiles_y,
     )
 
 
+TBLK = 512  # transpose-kernel block (M is rounded up to a multiple)
+
+
+def _transpose_cols_kernel(cols_ref, rows_ref):
+    # exact transpose via identity matmul (HIGHEST = true f32 passes; the
+    # default bf16 pass loses ~8 bits)
+    rows_ref[:, :] = jax.lax.dot_general(
+        cols_ref[:, :], jnp.eye(SLAB_W, dtype=jnp.float32),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def pallas_transpose16(cols):
+    """(SLAB_W, M) -> (M, SLAB_W) with a *pinned* row-major output layout.
+
+    Used between the bwd kernel's attribute-major grad slab and the
+    row-gather that inverts the binning sort: a plain ``.T`` lets XLA sink
+    the transposed layout into whichever gather/scatter sits next to it
+    (strided access, ~5-7ms at 1M slots); a Pallas boundary forces default
+    layouts on both sides and costs ~0.7ms of pure bandwidth."""
+    M = cols.shape[1]
+    assert M % TBLK == 0, M
+    return pl.pallas_call(
+        _transpose_cols_kernel,
+        out_shape=jax.ShapeDtypeStruct((M, SLAB_W), jnp.float32),
+        grid=(M // TBLK,),
+        in_specs=[pl.BlockSpec((SLAB_W, TBLK), lambda i: (0, i))],
+        out_specs=pl.BlockSpec((TBLK, SLAB_W), lambda i: (i, 0)),
+        interpret=_interpret(),
+    )(cols)
+
+
+RED_BN = 128  # gaussians per slot-reduce block
+
+
+def _reduce_slots_kernel(rows_ref, out_ref, *, d):
+    x = rows_ref[:, :]                        # (RED_BN*d, SLAB_W)
+    bn = out_ref.shape[0]
+    j = jax.lax.broadcasted_iota(jnp.int32, (bn, x.shape[0]), 1)
+    i = jax.lax.broadcasted_iota(jnp.int32, (bn, x.shape[0]), 0)
+    sel = (j // d == i).astype(jnp.float32)   # (bn, bn*d) group selector
+    out_ref[:, :] = jax.lax.dot_general(
+        sel, x,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def pallas_reduce_slots(rows, n: int, d: int):
+    """Sum groups of ``d`` consecutive rows: (n*d, SLAB_W) -> (n, SLAB_W).
+
+    The (N, D) slot-expansion reduce of the rasterizer backward, done as a
+    selector matmul on the MXU.  Like ``pallas_transpose16`` this exists to
+    PIN the layout of the gather feeding it: XLA's layout assignment
+    otherwise rewrites gather + reduce chains into column-major strided
+    forms (~6.5ms at 1M slots; this whole path is ~2ms)."""
+    assert rows.shape == (n * d, SLAB_W)
+    assert n % RED_BN == 0, n
+    kernel = functools.partial(_reduce_slots_kernel, d=d)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, SLAB_W), jnp.float32),
+        grid=(n // RED_BN,),
+        in_specs=[pl.BlockSpec((RED_BN * d, SLAB_W), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((RED_BN, SLAB_W), lambda i: (i, 0)),
+        interpret=_interpret(),
+    )(rows)
+
+
 def _bwd_kernel(
-    starts_ref, counts_ref, slab_hbm,
+    starts_ref, counts_ref, astarts_ref, slab_hbm,
     gc4_in, G_in, gTf_in,
     zeros_in, grad_hbm,
     buf, gbuf, sem, gsem,
     *, tiles_x: int, ts: int,
 ):
     t = pl.program_id(0)
-    start = pl.multiple_of(starts_ref[t], CHUNK)
+    start = starts_ref[t]                 # sorted-order start (unaligned)
+    head = jax.lax.rem(start, CHUNK)
+    base = start - head
+    astart = pl.multiple_of(astarts_ref[t], CHUNK)
     count = counts_ref[t]
     X, Y, ox, oy = _pixel_rows(t, tiles_x, ts)
     basis8 = _basis8(X, Y)
-    n_chunks = pl.cdiv(count, CHUNK)
+    n_chunks = pl.cdiv(head + count, CHUNK)
 
     gC4 = gc4_in[0]          # (8, NPIX): rows gCr, gCg, gCb, gD, 0...
     G = G_in[0]              # (1, NPIX)
     gTf = gTf_in[0]          # (1, NPIX)
 
     def dma_in(slot, c):
-        off = pl.multiple_of(start + c * CHUNK, CHUNK)
+        off = pl.multiple_of(base + c * CHUNK, CHUNK)
         boff = pl.multiple_of(slot * SLAB_W, SLAB_W)
         return pltpu.make_async_copy(
             slab_hbm.at[:, pl.ds(off, CHUNK)],
@@ -304,7 +390,7 @@ def _bwd_kernel(
         boff = pl.multiple_of((c % 2) * SLAB_W, SLAB_W)
         A = buf[pl.ds(boff, SLAB_W)]
         AT = A.T
-        alpha = _alpha_matrix(A, AT, c * CHUNK, count, basis8, ox, oy)
+        alpha = _alpha_matrix(A, AT, c * CHUNK - head, count, basis8, ox, oy)
 
         # per-pixel contribution term (gC·c_k + gD·z_k)(px): MXU
         contrib = jax.lax.dot_general(
@@ -350,7 +436,6 @@ def _bwd_kernel(
         gy_px = g_power * (c_c * dy + b_c * dx)
 
         rsum = lambda v: jnp.sum(v, axis=1, keepdims=True)   # (CHUNK, 1)
-        zc = jnp.zeros((CHUNK, 1), jnp.float32)
         gradT = jnp.concatenate(
             [
                 rsum(gx_px),
@@ -365,13 +450,20 @@ def _bwd_kernel(
                 rsum(W * gC4[3:4]),
                 rsum(jnp.abs(gx_px)),
                 rsum(jnp.abs(gy_px)),
-                zc, zc, zc, zc,
+                jnp.zeros((CHUNK, SLAB_W - 12), jnp.float32),
             ],
             axis=1,
         )  # (CHUNK, SLAB_W)
+        # grads leave attribute-major (16, M) like the input slab; the
+        # consumer inverts the binning sort with an axis-1 gather (compact
+        # layouts end to end — row-major variants force either a strided
+        # scatter or a 16-lane Mosaic slice, both measured dead ends)
         gbuf[:, :] = gradT.T
 
-        off = pl.multiple_of(start + c * CHUNK, CHUNK)
+        # grads land in this tile's DISJOINT aligned segment (the slab is
+        # read overlapping at chunk granularity, so writing back in slab
+        # coordinates would collide at tile boundaries)
+        off = pl.multiple_of(astart + c * CHUNK, CHUNK)
         out_dma = pltpu.make_async_copy(
             gbuf, grad_hbm.at[:, pl.ds(off, CHUNK)], gsem
         )
@@ -391,10 +483,10 @@ def _bwd_kernel(
 
 
 def pallas_composite_bwd(
-    slab, tile_starts, tile_counts, gc_tiled, gA_tiled, gD_tiled,
-    G_tiled, gTf_tiled, tiles_x, tiles_y, tile_size: int = 32,
+    slab, tile_starts, tile_counts, astarts, m_out, gc_tiled, gA_tiled,
+    gD_tiled, G_tiled, gTf_tiled, tiles_x, tiles_y, tile_size: int = 32,
 ):
-    """Backward: per-slot gradient slab (P, 16).
+    """Backward: per-slot gradient slab, attribute-major (SLAB_W, P_pad).
 
     Columns mirror the input slab; [_VAL], [_VAL+1] carry the AbsGS
     |d/dx|, |d/dy| accumulations.  Slots past a tile's early-termination
@@ -403,9 +495,8 @@ def pallas_composite_bwd(
     """
     assert tile_size == 32
     num_tiles = tiles_x * tiles_y
-    slab_t = slab  # (SLAB_W, P_pad) attribute-major
-    P_pad = slab_t.shape[1]
-    zeros_grad = jnp.zeros((SLAB_W, P_pad), jnp.float32)
+    slab_t = slab  # (SLAB_W, P_pad) attribute-major sorted-order table
+    zeros_grad = jnp.zeros((SLAB_W, m_out), jnp.float32)
     del gA_tiled  # folded into gTf by the caller
 
     gc4 = jnp.concatenate(
@@ -418,7 +509,7 @@ def pallas_composite_bwd(
     )  # (num_tiles, 8, NPIX)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -441,13 +532,13 @@ def pallas_composite_bwd(
     kernel = functools.partial(_bwd_kernel, tiles_x=tiles_x, ts=tile_size)
     grad_t = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((SLAB_W, P_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((SLAB_W, m_out), jnp.float32),
         grid_spec=grid_spec,
-        input_output_aliases={6: 0},
+        input_output_aliases={7: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=_interpret(),
     )(
-        tile_starts, tile_counts, slab_t,
+        tile_starts, tile_counts, astarts, slab_t,
         gc4,
         G_tiled.reshape(num_tiles, 1, NPIX),
         gTf_tiled.reshape(num_tiles, 1, NPIX),

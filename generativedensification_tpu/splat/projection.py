@@ -19,7 +19,6 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..core.sh import eval_sh_color
-from ..core.transforms import build_covariance
 
 # 3DGS constants
 NEAR_CULL = 0.2          # view-space z culling threshold
@@ -41,24 +40,52 @@ class ProjectedGaussians:
     valid: jnp.ndarray     # (N,)  bool — survives near/degenerate culling
 
 
-def compute_cov2d(
+def _symm6_from_scales_rots(scales, rotations):
+    """Σ = R diag(s²) Rᵀ as six (N,) components (s00,s01,s02,s11,s12,s22).
+
+    Fully scalar-expanded: batched (N, 3, 3) matmuls get TPU layouts with
+    2-3 of 128 lanes used and cost ~6ms in the backward at 131k Gaussians;
+    the component form is pure lane-parallel elementwise math (<0.5ms)."""
+    q = rotations
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r = (
+        (1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)),
+        (2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)),
+        (2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)),
+    )  # matches core.transforms.quat_to_rotmat
+    s = (scales[..., 0], scales[..., 1], scales[..., 2])
+    m = [[r[j][i] * s[i] for i in range(3)] for j in range(3)]
+
+    def dot3(a, b):
+        return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+    return (
+        dot3(m[0], m[0]), dot3(m[0], m[1]), dot3(m[0], m[2]),
+        dot3(m[1], m[1]), dot3(m[1], m[2]), dot3(m[2], m[2]),
+    )
+
+
+def _symm6_from_cov3d(cov3d):
+    return (
+        cov3d[..., 0, 0], cov3d[..., 0, 1], cov3d[..., 0, 2],
+        cov3d[..., 1, 1], cov3d[..., 1, 2], cov3d[..., 2, 2],
+    )
+
+
+def compute_cov2d_abc(
     mean_view: jnp.ndarray,
-    cov3d: jnp.ndarray,
+    symm6,
     view_rot: jnp.ndarray,
     focal_x,
     focal_y,
     tan_half_fovx,
     tan_half_fovy,
-) -> jnp.ndarray:
-    """EWA: Σ₂ = J W Σ₃ Wᵀ Jᵀ + λI.
+):
+    """EWA Σ₂ = J W Σ₃ Wᵀ Jᵀ + λI, scalar-expanded -> (a, b, c) (N,) each.
 
-    Args:
-      mean_view: (N, 3) view-space means.
-      cov3d: (N, 3, 3) world-space covariance.
-      view_rot: (3, 3) world→view rotation (the W matrix).
-    Returns:
-      (N, 2, 2) screen-space covariance (before conic inversion).
-    """
+    ``symm6``: the six upper-triangle components of Σ₃.
+    ``view_rot``: (3, 3) world→view rotation (the W matrix; per-view
+    scalars, so T = J @ W expands to 6 lane-parallel (N,) expressions)."""
     z = mean_view[..., 2]
     # clamp the projection point to the (dilated) frustum to bound J
     lim_x = FOV_CLAMP * tan_half_fovx
@@ -69,18 +96,29 @@ def compute_cov2d(
     y = tyz * z
 
     inv_z = 1.0 / z
-    inv_z2 = inv_z * inv_z
-    zero = jnp.zeros_like(z)
-    J = jnp.stack(
-        [
-            jnp.stack([focal_x * inv_z, zero, -focal_x * x * inv_z2], axis=-1),
-            jnp.stack([zero, focal_y * inv_z, -focal_y * y * inv_z2], axis=-1),
-        ],
-        axis=-2,
-    )  # (N, 2, 3)
-    T = J @ view_rot  # (N, 2, 3)
-    cov2d = T @ cov3d @ jnp.swapaxes(T, -1, -2)
-    return cov2d + LOWPASS * jnp.eye(2, dtype=cov2d.dtype)
+    fxz = focal_x * inv_z
+    fyz = focal_y * inv_z
+    gx = focal_x * x * inv_z * inv_z   # -J[0,2]
+    gy = focal_y * y * inv_z * inv_z   # -J[1,2]
+    W = view_rot
+    # T = J @ W rows (J = [[fxz, 0, -gx], [0, fyz, -gy]])
+    t0 = tuple(fxz * W[0, k] - gx * W[2, k] for k in range(3))
+    t1 = tuple(fyz * W[1, k] - gy * W[2, k] for k in range(3))
+
+    s00, s01, s02, s11, s12, s22 = symm6
+
+    def quad(u, v):
+        return (
+            u[0] * v[0] * s00 + u[1] * v[1] * s11 + u[2] * v[2] * s22
+            + (u[0] * v[1] + u[1] * v[0]) * s01
+            + (u[0] * v[2] + u[2] * v[0]) * s02
+            + (u[1] * v[2] + u[2] * v[1]) * s12
+        )
+
+    a = quad(t0, t0) + LOWPASS
+    b = quad(t0, t1)
+    c = quad(t1, t1) + LOWPASS
+    return a, b, c
 
 
 def project_gaussians(
@@ -132,11 +170,13 @@ def project_gaussians(
         xy = xy + screen_offset.astype(f32)
 
     if cov3d is None:
-        cov3d = build_covariance(scales.astype(f32), rotations.astype(f32))
+        symm6 = _symm6_from_scales_rots(scales.astype(f32), rotations.astype(f32))
+    else:
+        symm6 = _symm6_from_cov3d(cov3d.astype(f32))
     view_rot = camera.world_view_transform[:3, :3].T  # (w2c.T)[:3,:3].T = R_w2c
-    cov2d = compute_cov2d(
+    a, b, c = compute_cov2d_abc(
         p_view,
-        cov3d,
+        symm6,
         view_rot,
         camera.focal_x,
         camera.focal_y,
@@ -144,9 +184,6 @@ def project_gaussians(
         camera.tan_half_fovy,
     )
 
-    a = cov2d[..., 0, 0]
-    b = cov2d[..., 0, 1]
-    c = cov2d[..., 1, 1]
     det = a * c - b * b
     valid = (depth > NEAR_CULL) & (det > 0.0)
     safe_det = jnp.where(valid, det, 1.0)

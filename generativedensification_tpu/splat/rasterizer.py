@@ -99,7 +99,8 @@ def rasterize(
         opacity_eff,
         proj.depth,
         bg.astype(jnp.float32),
-        (bins.sorted_ids, bins.tile_starts, bins.tile_counts),
+        (bins.sorted_ids, bins.sorted_o, bins.sorted_valid,
+         bins.tile_starts, bins.tile_counts),
         bins.tiles_x,
         bins.tiles_y,
         tile_size,

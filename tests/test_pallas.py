@@ -18,16 +18,23 @@ def _data(seed=0):
     rng = np.random.default_rng(seed)
     counts = jnp.asarray([70, 50, 0, 60], jnp.int32)
     starts = jnp.asarray([0, 70, 120, 120], jnp.int32)
-    # each live slot references some gaussian; dead tail references 0
-    ids = np.zeros(P, np.int32)
-    ids[:180] = rng.integers(0, N, 180)
+    # sorted_o is a permutation of the (N, D=2) slot expansion; the
+    # gaussian of a slot is o // D (the production binning invariant)
+    sorted_o = rng.permutation(P).astype(np.int32)
+    ids = sorted_o // (P // N)
+    valid = np.zeros(P, bool)
+    for s, c in zip(np.asarray(starts), np.asarray(counts)):
+        valid[s:s + c] = True
     xy = jnp.asarray(rng.uniform(0, 64, (N, 2)), jnp.float32)
     conic = jnp.tile(jnp.asarray([[0.08, 0.01, 0.06]], jnp.float32), (N, 1))
     color = jnp.asarray(rng.uniform(0, 1, (N, 3)), jnp.float32)
     opa = jnp.asarray(rng.uniform(0.2, 0.95, N), jnp.float32)
     depth = jnp.asarray(rng.uniform(1, 3, N), jnp.float32)
     bg = jnp.asarray([0.3, 0.6, 0.9])
-    return xy, conic, color, opa, depth, bg, (jnp.asarray(ids), starts, counts)
+    return xy, conic, color, opa, depth, bg, (
+        jnp.asarray(ids), jnp.asarray(sorted_o), jnp.asarray(valid),
+        starts, counts
+    )
 
 
 def _run(backend, data):
