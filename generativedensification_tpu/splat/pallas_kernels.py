@@ -6,22 +6,25 @@ the VPU/MXU see dense vector work; the only serial dependency left is the
 transmittance chain over (1, 1024) pixel rows.
 
 Per tile (one grid program, dynamic trip count via scalar prefetch):
-  1. DMA the tile's slab chunk — stored attribute-major (16, P) so a
-     (16, CHUNK=128) slice is lane-aligned — into VMEM (double buffered).
+  1. DMA the tile's chunk of the attribute-major (16, P) SORTED table —
+     from the aligned-DOWN offset (tile segments start anywhere; the head
+     rows belong to the previous tile and are masked) — into VMEM
+     (double buffered).
   2. The Gaussian exponent is a quadratic form in pixel coordinates:
        power(k, px) = Σ_j coef_j(k) · basis_j(px),
        basis = [X², Y², XY, X, Y, 1, 0, 0]
      -> one (CHUNK, 8) @ (8, 1024) MXU matmul per chunk.
   3. alpha + culling masks: elementwise on the (CHUNK, 1024) matrix.
-  4. transmittance: an unrolled serial chain over CHUNK (1, 1024) rows
-     (front-to-back order is inherently sequential; nothing else is),
+  4. transmittance: log-space — cumulative sums of log1p(-α) over the
+     chunk via a 7-step shift-add ladder + exp (an unrolled 128-row
+     serial chain costs ~6k cycles/chunk; this is ~exact and parallel),
      emitting the weight matrix W(k, px) = α·T_exc·include.
   5. color/depth accumulation: (8, CHUNK) @ (CHUNK, 1024) MXU matmul.
 
-The backward reuses 1-4, accumulates the per-pixel inclusive prefix inside
-the serial chain (suffix = G - prefix trick, see composite.py), and turns
-the 12 per-slot gradient reductions (incl. the AbsGS |d/dx|, |d/dy|
-channels) into row-sums over (CHUNK, 1024) matrices.  Early termination:
+The backward reuses 1-4, accumulates the per-pixel inclusive prefix with
+the same cumsum ladder (suffix = G - prefix trick, see composite.py), and
+reduces the 12 per-slot gradient channels (incl. the AbsGS |d/dx|,
+|d/dy|) as VPU row-sums over (CHUNK, 1024) matrices.  Early termination:
 the chunk loop is a while_loop that stops once max(T) < 1e-4.
 
 Semantics are bit-compatible with composite.py; tests assert parity on CPU
@@ -140,6 +143,39 @@ def _color_lhs(A):
     )
 
 
+def _cumsum0(x):
+    """Inclusive cumsum over axis 0 (CHUNK) as a log2(CHUNK) shift-add
+    ladder — exact f32, ~7 adds, no serial dependency chain of length
+    CHUNK (the unrolled row-by-row loop costs ~6k cycles/chunk)."""
+    n = x.shape[0]
+    sh = 1
+    while sh < n:
+        x = x + jnp.concatenate(
+            [jnp.zeros((sh, x.shape[1]), x.dtype), x[:-sh]], axis=0
+        )
+        sh *= 2
+    return x
+
+
+def _transmittance(alpha, T_raw):
+    """Front-to-back transmittance quantities for one chunk, in log space.
+
+    Serial semantics (bit-compatible up to ~1e-6 exp/log rounding):
+      T_exc_k = T_raw * prod_{j<k} (1 - a_j)
+      U_k = T_exc_k (1 - a_k);  inc_k = U_k >= T_EPS
+      W_k = a_k T_exc_k inc_k
+    Returns (W, T_exc, inc, T_raw_out) with T_raw_out = T_raw * prod(1-a).
+    """
+    l = jnp.log1p(-alpha)                   # alpha <= ALPHA_MAX < 1
+    s_inc = _cumsum0(l)
+    T_exc = T_raw * jnp.exp(s_inc - l)
+    U = T_exc * (1.0 - alpha)
+    inc = (U >= T_EPS).astype(jnp.float32)
+    W = alpha * T_exc * inc
+    T_raw_out = T_raw * jnp.exp(s_inc[-1:])
+    return W, T_exc, inc, T_raw_out
+
+
 def _fwd_kernel(
     starts_ref, counts_ref, slab_hbm,
     c4_out, alpha_out, teff_out,
@@ -183,16 +219,11 @@ def _fwd_kernel(
         AT = A.T
         alpha = _alpha_matrix(A, AT, c * CHUNK - head, count, basis8, ox, oy)
 
-        # serial transmittance chain (front-to-back over rows)
-        w_rows = []
-        for k in range(CHUNK):
-            al = alpha[k:k + 1]
-            U = T_raw * (1.0 - al)
-            inc = (U >= T_EPS).astype(jnp.float32)
-            w_rows.append(al * T_raw * inc)
-            T_eff = T_eff * (1.0 - al * inc)
-            T_raw = U
-        W = jnp.concatenate(w_rows, axis=0)       # (CHUNK, NPIX)
+        W, T_exc, inc, T_raw = _transmittance(alpha, T_raw)
+        # effective transmittance excludes early-terminated contributions
+        T_eff = T_eff * jnp.exp(
+            jnp.sum(jnp.log1p(-alpha * inc), axis=0, keepdims=True)
+        )
 
         C4 = C4 + jax.lax.dot_general(
             _color_lhs(A), W,
@@ -400,21 +431,10 @@ def _bwd_kernel(
             precision=jax.lax.Precision.HIGHEST,
         )  # (CHUNK, NPIX)
 
-        # serial chain: weights, T_exc·inc, inclusive prefix rows
-        w_rows, tinc_rows, pref_rows = [], [], []
-        for k in range(CHUNK):
-            al = alpha[k:k + 1]
-            U = T_raw * (1.0 - al)
-            inc = (U >= T_EPS).astype(jnp.float32)
-            w = al * T_raw * inc
-            w_rows.append(w)
-            tinc_rows.append(T_raw * inc)
-            prefix = prefix + contrib[k:k + 1] * w
-            pref_rows.append(prefix)
-            T_raw = U
-        W = jnp.concatenate(w_rows, axis=0)
-        Tinc = jnp.concatenate(tinc_rows, axis=0)
-        pref = jnp.concatenate(pref_rows, axis=0)
+        W, T_exc, inc, T_raw = _transmittance(alpha, T_raw)
+        Tinc = T_exc * inc
+        pref = prefix + _cumsum0(contrib * W)     # inclusive prefix rows
+        prefix = pref[-1:]
 
         suffix = G - pref
         inv_1ma = 1.0 / jnp.maximum(1.0 - alpha, 1.0 - ALPHA_MAX)
@@ -435,6 +455,10 @@ def _bwd_kernel(
         gx_px = g_power * (a_c * dx + b_c * dy)
         gy_px = g_power * (c_c * dy + b_c * dx)
 
+        # NOTE: expressing these reductions as two MXU moment matmuls
+        # (g_power @ basis8ᵀ, W @ gC4ᵀ) was measured SLOWER (+3ms/render:
+        # contracting the 1024-lane NPIX dim forces operand relayouts);
+        # plain VPU lane reductions win here.
         rsum = lambda v: jnp.sum(v, axis=1, keepdims=True)   # (CHUNK, 1)
         gradT = jnp.concatenate(
             [
