@@ -142,6 +142,29 @@ class TestSH:
         gram = (Y.T @ Y) / len(pts) * 4 * np.pi
         np.testing.assert_allclose(gram, np.eye(16), atol=0.06)
 
+    def test_known_degree1_values(self):
+        # torch-spherical-harmonics convention: Y index l(l+1)+m,
+        # Y_1^{-1} = -c*y, Y_1^0 = c*z, Y_1^1 = -c*x  (c = 0.48860251)
+        v = np.asarray(rsh_cart(jnp.array([0.3, -0.5, 0.8124]), 1))
+        c = 0.48860251190292
+        np.testing.assert_allclose(
+            v[1:], [c * 0.5, c * 0.8124, -c * 0.3], atol=1e-6
+        )
+
+    def test_addition_theorem_all_degrees(self):
+        # sum_m Y_lm(d)^2 == (2l+1)/(4*pi) for every direction d — a
+        # pointwise (non-Monte-Carlo) check of the degree-0..8 recurrence
+        rng = np.random.default_rng(3)
+        pts = rng.normal(size=(512, 3))
+        pts /= np.linalg.norm(pts, axis=-1, keepdims=True)
+        Y = np.asarray(rsh_cart(jnp.asarray(pts, jnp.float32), 8))
+        assert Y.shape == (512, 81)
+        for l in range(9):
+            sl = slice(l * l, (l + 1) * (l + 1))
+            got = (Y[:, sl] ** 2).sum(-1)
+            want = (2 * l + 1) / (4 * np.pi)
+            np.testing.assert_allclose(got, want, rtol=2e-4)
+
     def test_eval_sh_color_dc_only(self):
         shs = jnp.zeros((5, 4, 3)).at[:, 0, :].set(1.0)
         rgb = eval_sh_color(shs, jnp.array([[0.0, 0.0, 1.0]] * 5), 1)

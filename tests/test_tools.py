@@ -99,3 +99,57 @@ class TestVis:
         img, (lo, hi) = visualize_depth(d)
         assert img.shape == (64, 64, 3) and img.dtype == np.uint8
         assert lo < hi
+
+
+class TestMeshRender:
+    def test_turntable_renders_cube(self):
+        from generativedensification_tpu.tools.mesh_render import (
+            render_mesh, turntable_frames, _look_at,
+        )
+
+        # unit cube: 8 verts, 12 triangles
+        v = np.array(
+            [[x, y, z] for x in (-0.5, 0.5) for y in (-0.5, 0.5)
+             for z in (-0.5, 0.5)], np.float64
+        )
+        quads = [
+            (0, 1, 3, 2), (4, 6, 7, 5), (0, 4, 5, 1),
+            (2, 3, 7, 6), (0, 2, 6, 4), (1, 5, 7, 3),
+        ]
+        f = np.array(
+            [t for (a, b, c, d) in quads for t in ((a, b, c), (a, c, d))]
+        )
+        c2w = _look_at([0.0, 0.8, -2.5], [0.0, 0.0, 0.0])
+        img = render_mesh(v, f, c2w, fov=0.7, size=96)
+        assert img.shape == (96, 96, 3)
+        # cube covers the image center, background stays at the border
+        assert float(img[48, 48].mean()) < 0.99
+        assert float(img[0, 0].mean()) == 1.0
+        frames = turntable_frames(v, f, n_frames=3, size=64)
+        assert frames.shape == (3, 64, 64, 3)
+        # object visible in every frame
+        assert all(float(fr.min()) < 0.9 for fr in frames)
+
+
+class TestDownloadTools:
+    def test_url_list_local_files(self, tmp_path):
+        from generativedensification_tpu.tools.download import download_url_list
+
+        src = tmp_path / "src"; src.mkdir()
+        (src / "a.bin").write_bytes(b"hello")
+        (src / "b.bin").write_bytes(b"world")
+        urls = [f"file://{src}/a.bin", f"file://{src}/b.bin"]
+        out = tmp_path / "out"
+        got = download_url_list(urls, str(out), workers=2)
+        assert sorted(p.split("/")[-1] for p in got) == ["a.bin", "b.bin"]
+        assert (out / "a.bin").read_bytes() == b"hello"
+        # idempotent skip-existing
+        got2 = download_url_list(urls, str(out), workers=2)
+        assert sorted(got2) == sorted(got)
+
+    def test_hf_gated_error(self, monkeypatch):
+        from generativedensification_tpu.tools import download as dl
+
+        monkeypatch.setitem(__import__("sys").modules, "huggingface_hub", None)
+        with pytest.raises((RuntimeError, ImportError)):
+            dl.download_hf_folder("some/repo", "/tmp/x")
