@@ -339,7 +339,7 @@ RED_BN = 128  # gaussians per slot-reduce block
 
 
 def _reduce_slots_kernel(rows_ref, out_ref, *, d):
-    x = rows_ref[:, :]                        # (RED_BN*d, SLAB_W)
+    x = rows_ref[:, :]                        # (RED_BN*d, width)
     bn = out_ref.shape[0]
     j = jax.lax.broadcasted_iota(jnp.int32, (bn, x.shape[0]), 1)
     i = jax.lax.broadcasted_iota(jnp.int32, (bn, x.shape[0]), 0)
@@ -352,23 +352,23 @@ def _reduce_slots_kernel(rows_ref, out_ref, *, d):
     )
 
 
-def pallas_reduce_slots(rows, n: int, d: int):
-    """Sum groups of ``d`` consecutive rows: (n*d, SLAB_W) -> (n, SLAB_W).
+def pallas_reduce_slots(rows, n: int, d: int, width: int = SLAB_W):
+    """Sum groups of ``d`` consecutive rows: (n*d, width) -> (n, width).
 
     The (N, D) slot-expansion reduce of the rasterizer backward, done as a
     selector matmul on the MXU.  Like ``pallas_transpose16`` this exists to
     PIN the layout of the gather feeding it: XLA's layout assignment
     otherwise rewrites gather + reduce chains into column-major strided
     forms (~6.5ms at 1M slots; this whole path is ~2ms)."""
-    assert rows.shape == (n * d, SLAB_W)
+    assert rows.shape == (n * d, width)
     assert n % RED_BN == 0, n
     kernel = functools.partial(_reduce_slots_kernel, d=d)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n, SLAB_W), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, width), jnp.float32),
         grid=(n // RED_BN,),
-        in_specs=[pl.BlockSpec((RED_BN * d, SLAB_W), lambda i: (i, 0))],
-        out_specs=pl.BlockSpec((RED_BN, SLAB_W), lambda i: (i, 0)),
+        in_specs=[pl.BlockSpec((RED_BN * d, width), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((RED_BN, width), lambda i: (i, 0)),
         interpret=_interpret(),
     )(rows)
 

@@ -1,0 +1,582 @@
+"""Pallas TPU kernels for the 2DGS surfel rasterizer.
+
+Same architecture as the 3DGS kernels (``pallas_kernels.py``): per-tile
+grid programs with dynamic trip counts via scalar prefetch, double-buffered
+DMA of an attribute-major (32, P) sorted-order table from aligned-down
+offsets with head-row masking, log-space transmittance ladder, early
+termination — plus the surfel-specific math:
+
+  * ray-plane intersection: cr(X, Y) = acr + X·bcr + Y·ccr (affine — see
+    ``surfel.py``), u = cr_x/cr_z, v = cr_y/cr_z, z_hit = det/cr_z,
+  * power = max(-0.5(u² + v²), -0.5((X-cx)² + (Y-cy)²)/VAR) (object-space
+    vs screen-space low-pass blend),
+  * extra accumulators: alpha-weighted normals, expected depth, median
+    depth (T=0.5 crossing), and the 2DGS distortion
+    dist = Σ_k w_k Σ_{j<k} w_j (m_k - m_j)², m = mapped depth.
+
+Backward is hand-written front-to-back (no reverse traversal).  The
+distortion chain uses suffix moments: with totals (W, M1, M2) of
+(w, w·m, w·m²) recovered from the forward outputs,
+
+  dL/dw_i += gdist · [d_i + (M2 - M2_i - w_i m_i²)
+                       + m_i² (W - A_i - w_i) - 2 m_i (M1 - M1_i - w_i m_i)]
+  dL/dm_i  = 2 gdist w_i [m_i A_i - M1_i + m_i Sw_i - Swm_i]
+
+and the total contribution for the suffix trick is
+  G = gC·C + gN·N + gDexp·Dexp + 2·gdist·dist
+(the pairwise form dist = Σ_{i<k} w_i w_k (m_i - m_k)² counts each pair
+once from each side).  Median-depth cotangents flow through the crossing
+slot's z_hit exactly like the XLA autodiff path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_kernels import (
+    CHUNK,
+    NPIX,
+    T_EPS,
+    _cumsum0,
+    _interpret,
+    _transmittance,
+)
+
+ALPHA_MAX = 0.99
+ALPHA_MIN = 1.0 / 255.0
+NEAR_CULL = 0.2
+FILTER_2D_VAR = 2.0
+SLAB_W2 = 32
+
+# slab row indices (attribute-major)
+(_AX, _AY, _AZ, _BX, _BY, _BZ, _CX, _CY, _CZ, _DET,
+ _PX, _PY, _OPA, _R, _G, _BL, _NX, _NY, _NZ) = range(19)
+N_ATTR = 19
+
+
+def _pix_rows(t, tiles_x: int, ts: int):
+    ox = (t % tiles_x) * ts
+    oy = (t // tiles_x) * ts
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, NPIX), 1)
+    Xl = (p % ts).astype(jnp.float32)
+    Yl = (p // ts).astype(jnp.float32)
+    return Xl, Yl, ox.astype(jnp.float32), oy.astype(jnp.float32)
+
+
+def _chunk_geometry(AT, Xl, Yl, ox, oy, offset, count, znear, zfar):
+    """Shared fwd/bwd per-chunk geometry.
+
+    Returns (alpha, sel3 (g3d branch mask), crx, cry, rz, zhit, m, dmdz,
+    dx2v, dy2v) — everything the backward also needs.
+    AT: (CHUNK, SLAB_W2) chunk attributes.
+    """
+    col = lambda i: AT[:, i:i + 1]
+    # shift the affine constant to tile-local pixel coordinates
+    ax_t = col(_AX) + ox * col(_BX) + oy * col(_CX)
+    ay_t = col(_AY) + ox * col(_BY) + oy * col(_CY)
+    az_t = col(_AZ) + ox * col(_BZ) + oy * col(_CZ)
+    crx = ax_t + col(_BX) * Xl + col(_CX) * Yl      # (CHUNK, NPIX)
+    cry = ay_t + col(_BY) * Xl + col(_CY) * Yl
+    crz = az_t + col(_BZ) * Xl + col(_CZ) * Yl
+    safe = jnp.where(jnp.abs(crz) < 1e-8, 1e-8, crz)
+    rz = 1.0 / safe
+    u = crx * rz
+    v = cry * rz
+    g3d = -0.5 * (u * u + v * v)
+    dxl = Xl - (col(_PX) - ox)
+    dyl = Yl - (col(_PY) - oy)
+    g2d = -0.5 * (dxl * dxl + dyl * dyl) / FILTER_2D_VAR
+    sel3 = (g3d >= g2d).astype(jnp.float32)
+    power = jnp.maximum(g3d, g2d)
+    zhit = col(_DET) * rz
+
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, NPIX), 0)
+    pos = offset + row_idx
+    live = (pos >= 0) & (pos < count)
+    alpha = jnp.minimum(ALPHA_MAX, col(_OPA) * jnp.exp(power))
+    ok = (power <= 0.0) & (alpha >= ALPHA_MIN) & live & (zhit > NEAR_CULL)
+    alpha = jnp.where(ok, alpha, 0.0)
+
+    F = zfar / (zfar - znear)
+    zc = jnp.maximum(zhit, 1e-6)
+    m = F * (1.0 - znear / zc)
+    dmdz = jnp.where(zhit > 1e-6, F * znear / (zc * zc), 0.0)
+    return alpha, sel3, crx, cry, rz, zhit, m, dmdz, dxl, dyl
+
+
+def _acc_lhs(A):
+    """(8, CHUNK) rows [r, g, b, nx, ny, nz, 0, 0]."""
+    return jnp.concatenate(
+        [A[_R:_R + 1], A[_G:_G + 1], A[_BL:_BL + 1],
+         A[_NX:_NX + 1], A[_NY:_NY + 1], A[_NZ:_NZ + 1],
+         jnp.zeros((2, A.shape[1]), jnp.float32)],
+        axis=0,
+    )
+
+
+def _fwd_kernel(
+    starts_ref, counts_ref, scal_ref, slab_hbm,
+    c8_out, ex_out,
+    buf, sem,
+    *, tiles_x: int, ts: int,
+):
+    t = pl.program_id(0)
+    start = starts_ref[t]
+    head = jax.lax.rem(start, CHUNK)
+    base = start - head
+    count = counts_ref[t]
+    znear = scal_ref[0]
+    zfar = scal_ref[1]
+    Xl, Yl, ox, oy = _pix_rows(t, tiles_x, ts)
+    n_chunks = pl.cdiv(head + count, CHUNK)
+
+    def dma(slot, c):
+        off = pl.multiple_of(base + c * CHUNK, CHUNK)
+        boff = pl.multiple_of(slot * SLAB_W2, SLAB_W2)
+        return pltpu.make_async_copy(
+            slab_hbm.at[:, pl.ds(off, CHUNK)],
+            buf.at[pl.ds(boff, SLAB_W2)],
+            sem.at[slot],
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        dma(0, 0).start()
+
+    ones = jnp.ones((1, NPIX), jnp.float32)
+    zeros = jnp.zeros((1, NPIX), jnp.float32)
+
+    def chunk_body(state):
+        c, T_raw, T_eff, C8, Dexp, Dmed, m1, m2, dist = state
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            dma((c + 1) % 2, c + 1).start()
+
+        dma(c % 2, c).wait()
+        boff = pl.multiple_of((c % 2) * SLAB_W2, SLAB_W2)
+        A = buf[pl.ds(boff, SLAB_W2)]            # (SLAB_W2, CHUNK)
+        AT = A.T
+        alpha, _, _, _, _, zhit, m, _, _, _ = _chunk_geometry(
+            AT, Xl, Yl, ox, oy, c * CHUNK - head, count, znear, zfar
+        )
+
+        W, T_exc, inc, T_raw_new = _transmittance(alpha, T_raw)
+        T_eff = T_eff * jnp.exp(
+            jnp.sum(jnp.log1p(-alpha * inc), axis=0, keepdims=True)
+        )
+
+        wm = W * m
+        wm2 = wm * m
+        m1_pref = m1 + _cumsum0(wm) - wm          # exclusive + carry
+        m2_pref = m2 + _cumsum0(wm2) - wm2
+        a_pref = 1.0 - T_exc
+        dist_add = W * (m * m * a_pref + m2_pref - 2.0 * m * m1_pref)
+
+        C8 = C8 + jax.lax.dot_general(
+            _acc_lhs(A), W,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        Dexp = Dexp + jnp.sum(W * zhit, axis=0, keepdims=True)
+        dist = dist + jnp.sum(dist_add, axis=0, keepdims=True)
+        m1 = m1 + jnp.sum(wm, axis=0, keepdims=True)
+        m2 = m2 + jnp.sum(wm2, axis=0, keepdims=True)
+
+        U = T_exc * (1.0 - alpha)
+        crossed = ((T_exc > 0.5) & (U < 0.5) & (alpha > 0.0)).astype(
+            jnp.float32
+        )
+        zmed = jnp.sum(crossed * zhit, axis=0, keepdims=True)
+        any_cross = jnp.sum(crossed, axis=0, keepdims=True) > 0.0
+        Dmed = jnp.where((Dmed == 0.0) & any_cross, zmed, Dmed)
+
+        return (c + 1, T_raw_new, T_eff, C8, Dexp, Dmed, m1, m2, dist)
+
+    def cond(state):
+        c, T_raw = state[0], state[1]
+        return (c < n_chunks) & (jnp.max(T_raw) >= T_EPS)
+
+    c, T_raw, T_eff, C8, Dexp, Dmed, m1, m2, dist = jax.lax.while_loop(
+        cond, chunk_body,
+        (0, ones, ones, jnp.zeros((8, NPIX), jnp.float32),
+         zeros, zeros, zeros, zeros, zeros),
+    )
+
+    @pl.when(c < n_chunks)
+    def _():
+        dma(c % 2, c).wait()
+
+    c8_out[0] = C8
+    ex_out[0] = jnp.concatenate(
+        [1.0 - T_eff, Dexp, Dmed, dist, m1, m2, T_eff, zeros], axis=0
+    )
+
+
+def _pack_surfel_table_t(acr, bcr, ccr, det, xy, color, opacity, normal):
+    """Attribute-major (SLAB_W2, N) table."""
+    N = det.shape[0]
+    f = lambda v: v.astype(jnp.float32)
+    zero = jnp.zeros((N,), jnp.float32)
+    rows = [
+        f(acr[:, 0]), f(acr[:, 1]), f(acr[:, 2]),
+        f(bcr[:, 0]), f(bcr[:, 1]), f(bcr[:, 2]),
+        f(ccr[:, 0]), f(ccr[:, 1]), f(ccr[:, 2]),
+        f(det),
+        f(xy[:, 0]), f(xy[:, 1]),
+        f(opacity),
+        f(color[:, 0]), f(color[:, 1]), f(color[:, 2]),
+        f(normal[:, 0]), f(normal[:, 1]), f(normal[:, 2]),
+    ]
+    rows += [zero] * (SLAB_W2 - len(rows))
+    return jnp.stack(rows, axis=0)
+
+
+def _sorted_surfel_slab(acr, bcr, ccr, det, xy, color, opacity, normal, ids):
+    P = ids.shape[0]
+    pad = (-P) % CHUNK + CHUNK
+    table_t = _pack_surfel_table_t(
+        acr, bcr, ccr, det, xy, color, opacity, normal
+    )
+    sorted_t = jnp.take(table_t, ids, axis=1, mode="clip")
+    return jnp.pad(sorted_t, ((0, 0), (0, pad)))
+
+
+def pallas_surfel_fwd(acr, bcr, ccr, det, xy, color, opacity, normal, bg,
+                      znear, zfar, bins_arrays, tiles_x, tiles_y, tile_size):
+    from .composite import _untile
+
+    assert tile_size == 32, "pallas surfel path is specialized to 32px tiles"
+    ids, _, _, tile_starts, tile_counts = bins_arrays
+    num_tiles = tiles_x * tiles_y
+    slab_t = _sorted_surfel_slab(
+        acr, bcr, ccr, det, xy, color, opacity, normal, ids
+    )
+    scal = jnp.stack([znear.astype(jnp.float32), zfar.astype(jnp.float32)])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=[
+            pl.BlockSpec((1, 8, NPIX), lambda t, *p: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, NPIX), lambda t, *p: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2 * SLAB_W2, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_fwd_kernel, tiles_x=tiles_x, ts=tile_size)
+    C8, EX = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((num_tiles, 8, NPIX), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, 8, NPIX), jnp.float32),
+        ],
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(tile_starts, tile_counts, scal, slab_t)
+
+    ts = tile_size
+    npix = ts * ts
+    alpha_t = EX[:, 0]
+    C = C8[:, 0:3].transpose(0, 2, 1)               # (T, npix, 3)
+    Nacc = C8[:, 3:6].transpose(0, 2, 1)
+    T_eff = EX[:, 6]
+    image_t = C + T_eff[..., None] * bg[None, None, :]
+    un = lambda x, ch: _untile(
+        x if x.ndim == 3 else x[..., None], tiles_x, tiles_y, ts, ch
+    )
+    out = (
+        un(image_t, 3),
+        un(alpha_t, 1)[..., 0],
+        un(EX[:, 1], 1)[..., 0],
+        un(EX[:, 2], 1)[..., 0],
+        un(Nacc, 3),
+        un(EX[:, 3], 1)[..., 0],
+    )
+    # residuals: per-tile accumulators for the backward's suffix trick
+    res = (C, Nacc, EX[:, 1], EX[:, 3], EX[:, 4], EX[:, 5], EX[:, 6])
+    return out, res
+
+
+def _bwd_kernel(
+    starts_ref, counts_ref, astarts_ref, scal_ref, slab_hbm,
+    cot_in, tot_in,
+    zeros_in, grad_hbm,
+    buf, gbuf, sem, gsem,
+    *, tiles_x: int, ts: int,
+):
+    t = pl.program_id(0)
+    start = starts_ref[t]
+    head = jax.lax.rem(start, CHUNK)
+    base = start - head
+    astart = pl.multiple_of(astarts_ref[t], CHUNK)
+    count = counts_ref[t]
+    znear = scal_ref[0]
+    zfar = scal_ref[1]
+    Xl, Yl, ox, oy = _pix_rows(t, tiles_x, ts)
+    n_chunks = pl.cdiv(head + count, CHUNK)
+
+    # cotangent rows: [gCr gCg gCb gNx gNy gNz gDexp gdist] + row block 2:
+    # [G, gTf, gDmed, Wtot(1-Tfin), M1tot, M2tot, 0, 0]
+    cot = cot_in[0]            # (8, NPIX)
+    aux = tot_in[0]            # (8, NPIX)
+    G = aux[0:1]
+    gTf = aux[1:2]
+    gDmed = aux[2:3]
+    Wtot = aux[3:4]
+    M1tot = aux[4:5]
+    M2tot = aux[5:6]
+    gdist = cot[7:8]
+    gDexp = cot[6:7]
+
+    def dma_in(slot, c):
+        off = pl.multiple_of(base + c * CHUNK, CHUNK)
+        boff = pl.multiple_of(slot * SLAB_W2, SLAB_W2)
+        return pltpu.make_async_copy(
+            slab_hbm.at[:, pl.ds(off, CHUNK)],
+            buf.at[pl.ds(boff, SLAB_W2)],
+            sem.at[slot],
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        dma_in(0, 0).start()
+
+    ones = jnp.ones((1, NPIX), jnp.float32)
+    zeros = jnp.zeros((1, NPIX), jnp.float32)
+
+    def chunk_body(state):
+        c, T_raw, prefix, m1, m2 = state
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            dma_in((c + 1) % 2, c + 1).start()
+
+        dma_in(c % 2, c).wait()
+        boff = pl.multiple_of((c % 2) * SLAB_W2, SLAB_W2)
+        A = buf[pl.ds(boff, SLAB_W2)]
+        AT = A.T
+        col = lambda i: AT[:, i:i + 1]
+        alpha, sel3, crx, cry, rz, zhit, m, dmdz, dxl, dyl = _chunk_geometry(
+            AT, Xl, Yl, ox, oy, c * CHUNK - head, count, znear, zfar
+        )
+
+        W, T_exc, inc, T_raw_new = _transmittance(alpha, T_raw)
+        wm = W * m
+        wm2 = wm * m
+        m1_pref = m1 + _cumsum0(wm) - wm
+        m2_pref = m2 + _cumsum0(wm2) - wm2
+        a_pref = 1.0 - T_exc
+        d_i = m * m * a_pref + m2_pref - 2.0 * m * m1_pref
+
+        # suffix moments (totals minus inclusive prefixes)
+        Sw = Wtot - (a_pref + W)
+        Swm = M1tot - (m1_pref + wm)
+        Sw2 = M2tot - (m2_pref + wm2)
+
+        # direct dL/dw
+        base_cw = jax.lax.dot_general(
+            _acc_lhs(A).T, cot,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (CHUNK, NPIX): gC·col + gN·nrm
+        cw = base_cw + gDexp * zhit + gdist * (
+            d_i + Sw2 + m * m * Sw - 2.0 * m * Swm
+        )
+
+        # dL/dm and dL/dz
+        gm = 2.0 * gdist * W * (m * a_pref - m1_pref + m * Sw - Swm)
+        U = T_exc * (1.0 - alpha)
+        crossed = ((T_exc > 0.5) & (U < 0.5) & (alpha > 0.0)).astype(
+            jnp.float32
+        )
+        gz = W * gDexp + gm * dmdz + gDmed * crossed
+
+        # alpha chain (suffix trick; prefix accumulates cw·w)
+        pref = prefix + _cumsum0(cw * W)
+        suffix = G - pref
+        inv_1ma = 1.0 / jnp.maximum(1.0 - alpha, 1.0 - ALPHA_MAX)
+        inc_m = (T_exc * inc > 0.0).astype(jnp.float32)
+        g_alpha = inc_m * (cw * T_exc - (suffix + gTf) * inv_1ma)
+
+        not_clamped = (alpha < ALPHA_MAX).astype(jnp.float32)
+        g_power = g_alpha * not_clamped * alpha
+        g3 = g_power * sel3
+        g2 = g_power * (1.0 - sel3)
+
+        # g3d = -0.5 (crx² + cry²) rz²; zhit = det·rz
+        rz2 = rz * rz
+        d_crx = -crx * rz2 * g3
+        d_cry = -cry * rz2 * g3
+        d_crz = (crx * crx + cry * cry) * rz2 * rz * g3 - gz * col(_DET) * rz2
+        crz_ok = (jnp.abs(1.0 / rz) > 1e-8).astype(jnp.float32)
+        d_crz = d_crz * crz_ok
+
+        Xg = Xl + ox
+        Yg = Yl + oy
+        rsum = lambda v: jnp.sum(v, axis=1, keepdims=True)   # (CHUNK, 1)
+        gradT = jnp.concatenate(
+            [
+                rsum(d_crx), rsum(d_cry), rsum(d_crz),
+                rsum(d_crx * Xg), rsum(d_cry * Xg), rsum(d_crz * Xg),
+                rsum(d_crx * Yg), rsum(d_cry * Yg), rsum(d_crz * Yg),
+                rsum(gz * rz),
+                rsum(g2 * dxl) / FILTER_2D_VAR,
+                rsum(g2 * dyl) / FILTER_2D_VAR,
+                rsum(g_power) / jnp.maximum(col(_OPA), 1e-12),
+                rsum(W * cot[0:1]), rsum(W * cot[1:2]), rsum(W * cot[2:3]),
+                rsum(W * cot[3:4]), rsum(W * cot[4:5]), rsum(W * cot[5:6]),
+                jnp.zeros((CHUNK, SLAB_W2 - N_ATTR), jnp.float32),
+            ],
+            axis=1,
+        )  # (CHUNK, SLAB_W2) — grad rows mirror the attribute layout
+        gbuf[:, :] = gradT.T
+
+        off = pl.multiple_of(astart + c * CHUNK, CHUNK)
+        out_dma = pltpu.make_async_copy(
+            gbuf, grad_hbm.at[:, pl.ds(off, CHUNK)], gsem
+        )
+        out_dma.start()
+        out_dma.wait()
+
+        m1 = m1 + jnp.sum(wm, axis=0, keepdims=True)
+        m2 = m2 + jnp.sum(wm2, axis=0, keepdims=True)
+        return (c + 1, T_raw_new, pref[-1:], m1, m2)
+
+    def cond(state):
+        c, T_raw = state[0], state[1]
+        return (c < n_chunks) & (jnp.max(T_raw) >= T_EPS)
+
+    c, _, _, _, _ = jax.lax.while_loop(
+        cond, chunk_body, (0, ones, zeros, zeros, zeros)
+    )
+
+    @pl.when(c < n_chunks)
+    def _():
+        dma_in(c % 2, c).wait()
+
+
+def pallas_surfel_bwd(saved, cot, tiles_x, tiles_y, tile_size):
+    """Hand-written backward: returns grads for (acr, bcr, ccr, det, xy,
+    color, opacity, normal, bg) — the differentiable args of
+    ``composite_surfels`` minus znear/zfar/bins (handled by the caller)."""
+    from .composite import _grad_slab_width, _slab_maps, _tile
+    from .pallas_kernels import RED_BN, pallas_reduce_slots
+
+    (acr, bcr, ccr, det, xy, color, opacity, normal, bg, znear, zfar,
+     bins_arrays, res, out) = saved
+    ids, _, _, tile_starts, tile_counts = bins_arrays
+    gC_img, gA_img, gDexp_img, gDmed_img, gN_img, gdist_img = cot
+    C_t, N_t, Dexp_t, dist_t, m1_t, m2_t, Tfin_t = res
+    ts = tile_size
+    num_tiles = tiles_x * tiles_y
+    npix = ts * ts
+
+    # tile the cotangents
+    gC = _tile(gC_img, tiles_x, tiles_y, ts)            # (T, npix, 3)
+    gN = _tile(gN_img, tiles_x, tiles_y, ts)
+    t1 = lambda v: _tile(v[..., None], tiles_x, tiles_y, ts)[..., 0]
+    gA = t1(gA_img)
+    gDexp = t1(gDexp_img)
+    gDmed = t1(gDmed_img)
+    gdist = t1(gdist_img)
+
+    # suffix-trick totals (see module docstring)
+    G = (
+        jnp.einsum("tpc,tpc->tp", gC, C_t)
+        + jnp.einsum("tpc,tpc->tp", gN, N_t)
+        + gDexp * Dexp_t
+        + 2.0 * gdist * dist_t
+    )
+    gTf = (jnp.einsum("tpc,c->tp", gC, bg) - gA) * Tfin_t
+
+    cot8 = jnp.concatenate(
+        [
+            gC.transpose(0, 2, 1), gN.transpose(0, 2, 1),
+            gDexp[:, None], gdist[:, None],
+        ],
+        axis=1,
+    )  # (T, 8, npix)
+    aux8 = jnp.concatenate(
+        [
+            G[:, None], gTf[:, None], gDmed[:, None],
+            (1.0 - Tfin_t)[:, None], m1_t[:, None], m2_t[:, None],
+            jnp.zeros((num_tiles, 2, npix), jnp.float32),
+        ],
+        axis=1,
+    )  # (T, 8, npix)
+
+    astarts, apos = _slab_maps(bins_arrays, num_tiles)
+    M = _grad_slab_width(ids.shape[0], num_tiles)
+    slab_t = _sorted_surfel_slab(
+        acr, bcr, ccr, det, xy, color, opacity, normal, ids
+    )
+    scal = jnp.stack([znear.astype(jnp.float32), zfar.astype(jnp.float32)])
+    zeros_grad = jnp.zeros((SLAB_W2, M), jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((1, 8, NPIX), lambda t, *p: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, NPIX), lambda t, *p: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((2 * SLAB_W2, CHUNK), jnp.float32),
+            pltpu.VMEM((SLAB_W2, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    kernel = functools.partial(_bwd_kernel, tiles_x=tiles_x, ts=tile_size)
+    grad_al = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((SLAB_W2, M), jnp.float32),
+        grid_spec=grid_spec,
+        input_output_aliases={7: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=_interpret(),
+    )(
+        tile_starts, tile_counts, astarts, scal, slab_t,
+        cot8, aux8, zeros_grad,
+    )  # (SLAB_W2, M)
+
+    # aligned grads -> per-surfel grads: free .T bitcast, apos row gather,
+    # Pallas slot-reduce (same rationale as the 3DGS path)
+    N = det.shape[0]
+    D_slots = apos.shape[0] // N
+    N_pad = -(-N // RED_BN) * RED_BN
+    if N_pad != N:
+        apos = jnp.concatenate(
+            [apos, jnp.full(((N_pad - N) * D_slots,), M - 1, jnp.int32)]
+        )
+    rows = jnp.take(grad_al.T, apos, axis=0, mode="clip")  # (P, 32)
+    g = pallas_reduce_slots(rows, N_pad, D_slots, width=SLAB_W2)[:N]
+
+    d_acr = g[:, _AX:_AX + 3]
+    d_bcr = g[:, _BX:_BX + 3]
+    d_ccr = g[:, _CX:_CX + 3]
+    d_det = g[:, _DET]
+    d_xy = g[:, _PX:_PX + 2]
+    d_opa = g[:, _OPA]
+    d_col = g[:, _R:_R + 3]
+    d_nrm = g[:, _NX:_NX + 3]
+    d_bg = jnp.einsum("tpc,tp->c", gC, Tfin_t)
+    return (d_acr, d_bcr, d_ccr, d_det, d_xy, d_col, d_opa, d_nrm, d_bg)

@@ -8,26 +8,37 @@ coordinates via the homogeneous 3x3 map ``M: (u, v, 1) -> (x·w, y·w, w)``
 
     h_u = x·M[2] - M[0],   h_v = y·M[2] - M[1],   (u, v, 1) ∝ h_u × h_v.
 
+TPU form: the cross product is AFFINE in the pixel coordinates —
+
+    cr(X, Y) = Mx×My + X·(My×Mw) + Y·(Mw×Mx),
+    z_hit    = det(M) / cr_z,
+
+so each surfel carries 10 derived coefficients (three 3-vectors + det)
+and a chunk's intersection test is three (CHUNK, 3) @ (3, NPIX) affine
+evaluations — the surfel analogue of the 3DGS quadratic-form matmul.
+
 Outputs mirror the reference call site (``lightning/renderer_2dgs.py:224-257``):
 image, alpha, expected depth, *median* depth (depth at the T=0.5 crossing),
 view-space normal map, and the per-pixel distortion accumulator used by the
 2DGS regularizers (``loss.py:50-61``).
 
-Differentiation: compositing runs as a rematerialized ``lax.scan`` and is
-differentiated by autodiff (the 3DGS path has the hand-written VJP; this
-variant trades a recompute for simplicity — swap-in kernel parity tracked
-in splat/pallas notes).
+``composite_surfels`` is the differentiation boundary (like
+``composite_tiles`` for 3DGS): the XLA scan backend is the semantic ground
+truth whose backward is taken by autodiff (rematerialized); the Pallas
+backend runs the hand-written TPU kernels in ``pallas_surfel.py``.
 """
 
 from __future__ import annotations
+
+from functools import partial
 
 import jax
 import jax.numpy as jnp
 from flax import struct
 
 from ..core.sh import eval_sh_color
-from ..core.transforms import normalize_quat, quat_to_rotmat
-from .binning import TileBins, bin_gaussians
+from ..core.transforms import normalize_quat
+from .binning import bin_gaussians
 from .composite import _tile_pixel_coords, _untile
 from .projection import ProjectedGaussians
 
@@ -51,30 +62,40 @@ class SurfelOutput:
     overflow: jnp.ndarray
 
 
+def _rot_cols(q):
+    """Rotation-matrix columns as (N, 3) vectors, scalar-expanded."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    c0 = jnp.stack(
+        [1 - 2 * (y * y + z * z), 2 * (x * y + w * z), 2 * (x * z - w * y)],
+        axis=-1,
+    )
+    c1 = jnp.stack(
+        [2 * (x * y - w * z), 1 - 2 * (x * x + z * z), 2 * (y * z + w * x)],
+        axis=-1,
+    )
+    c2 = jnp.stack(
+        [2 * (x * z + w * y), 2 * (y * z - w * x), 1 - 2 * (x * x + y * y)],
+        axis=-1,
+    )
+    return c0, c1, c2
+
+
 def _surfel_setup(means3d, scales2d, rotations, opacity, shs, camera, sh_degree):
     """Per-surfel screen maps + culling. Returns (M (N,3,3), normal_view,
     center_xy, center_depth, color, radius, valid)."""
     f32 = jnp.float32
-    N = means3d.shape[0]
-    R = quat_to_rotmat(normalize_quat(rotations.astype(f32)))  # (N, 3, 3)
-    t_u = R[..., :, 0] * scales2d[..., 0:1]
-    t_v = R[..., :, 1] * scales2d[..., 1:2]
-    normal_w = R[..., :, 2]
+    t_u, t_v, normal_w = _rot_cols(normalize_quat(rotations.astype(f32)))
+    t_u = t_u * scales2d[..., 0:1]
+    t_v = t_v * scales2d[..., 1:2]
 
     wvt = camera.world_view_transform  # (4,4), row-vector w2c.T
     Rv = wvt[:3, :3]                   # world->view rotation (as right-mult)
     tv = wvt[3, :3]
 
-    def to_view(p):
-        return p @ Rv + tv
-
-    def rot_view(d):
-        return d @ Rv
-
-    p_view = to_view(means3d.astype(f32))           # (N, 3)
-    tu_view = rot_view(t_u)
-    tv_view = rot_view(t_v)
-    n_view = rot_view(normal_w)
+    p_view = means3d.astype(f32) @ Rv + tv          # (N, 3)
+    tu_view = t_u @ Rv
+    tv_view = t_v @ Rv
+    n_view = normal_w @ Rv
     # flip normals toward the camera
     flip = jnp.sign(jnp.sum(n_view * p_view, axis=-1, keepdims=True))
     n_view = -flip * n_view
@@ -136,6 +157,21 @@ def _surfel_setup(means3d, scales2d, rotations, opacity, shs, camera, sh_degree)
     return M, n_view, center_xy, depth, color, jnp.where(valid, radius, 0.0), valid
 
 
+def _surfel_coeffs(M):
+    """Affine ray-intersection coefficients from the homogeneous map.
+
+    cr(X, Y) = acr + X·bcr + Y·ccr  (the h_u × h_v cross product), and
+    z_hit = det / cr_z (the XY term Mw×Mw vanishes; the z numerator's X/Y
+    terms are triple products with a repeated Mw and vanish too).
+    """
+    Mx, My, Mw = M[..., 0, :], M[..., 1, :], M[..., 2, :]
+    acr = jnp.cross(Mx, My)
+    bcr = jnp.cross(My, Mw)
+    ccr = jnp.cross(Mw, Mx)
+    det = jnp.sum(Mw * acr, axis=-1)
+    return acr, bcr, ccr, det
+
+
 def rasterize_surfels(
     means3d,
     shs,
@@ -149,40 +185,151 @@ def rasterize_surfels(
     max_tiles: int = 16,
     max_per_tile: int = 4096,
     chunk: int = 32,
+    backend: str = "auto",
 ) -> SurfelOutput:
     """Differentiably splat N activated surfels into one camera."""
     H, W = camera.height, camera.width
     N = means3d.shape[0]
     max_per_tile = min(max_per_tile, N * max_tiles)
-    znear, zfar = camera.znear, camera.zfar
+    if backend == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        backend = "pallas" if (on_tpu and tile_size == 32) else "xla"
 
     M, n_view, xy, depth, color, radius, valid = _surfel_setup(
         means3d, scales2d, rotations, opacities, shs, camera, sh_degree
     )
+    acr, bcr, ccr, det = _surfel_coeffs(M)
     proj = ProjectedGaussians(
         xy=xy, depth=depth, conic=jnp.zeros_like(n_view), color=color,
         opacity=opacities.astype(jnp.float32), radius=radius, valid=valid,
     )
     bins = bin_gaussians(proj, H, W, tile_size=tile_size, max_tiles=max_tiles)
 
-    ids = bins.sorted_ids
-    sM = jnp.take(M.reshape(N, 9), ids, axis=0)
-    s_xy = jnp.take(xy, ids, axis=0)
-    s_color = jnp.take(color, ids, axis=0)
-    s_opa = jnp.take(jnp.where(valid, proj.opacity, 0.0), ids, axis=0)
-    s_depth = jnp.take(depth, ids, axis=0)
-    s_norm = jnp.take(n_view, ids, axis=0)
-    s_ok = bins.sorted_valid
+    opacity_eff = jnp.where(valid, proj.opacity, 0.0)
+    maps = composite_surfels(
+        acr, bcr, ccr, det, xy, color, opacity_eff, n_view,
+        bg.astype(jnp.float32),
+        jnp.asarray(camera.znear, jnp.float32),
+        jnp.asarray(camera.zfar, jnp.float32),
+        (bins.sorted_ids, bins.sorted_o, bins.sorted_valid,
+         bins.tile_starts, bins.tile_counts),
+        bins.tiles_x, bins.tiles_y, tile_size, max_per_tile, chunk, backend,
+    )
+    image, alpha_map, Dexp, Dmed, Nacc, dist = maps
+    return SurfelOutput(
+        image=jnp.clip(image[:H, :W], 0.0, 1.0),
+        alpha=alpha_map[:H, :W],
+        depth_expected=Dexp[:H, :W],
+        depth_median=Dmed[:H, :W],
+        normal=Nacc[:H, :W],
+        dist=dist[:H, :W],
+        radii=radius,
+        overflow=bins.overflow,
+    )
 
-    tiles_x, tiles_y, ts = bins.tiles_x, bins.tiles_y, tile_size
+
+# ---------------------------------------------------------------------------
+# compositing boundary (custom VJP; XLA scan = ground truth, Pallas = TPU)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15, 16, 17))
+def composite_surfels(
+    acr, bcr, ccr, det, xy, color, opacity, normal, bg, znear, zfar,
+    bins_arrays,
+    tiles_x: int, tiles_y: int, tile_size: int,
+    max_per_tile: int, chunk: int, backend: str = "xla",
+):
+    """Composite N surfels -> (image, alpha, depth_exp, depth_med, normal,
+    dist), each (Ht, Wt[, ch]) at tile-padded resolution."""
+    out, _ = _fwd_impl(
+        acr, bcr, ccr, det, xy, color, opacity, normal, bg, znear, zfar,
+        bins_arrays, tiles_x, tiles_y, tile_size, max_per_tile, chunk, backend,
+    )
+    return out
+
+
+def _fwd_impl(acr, bcr, ccr, det, xy, color, opacity, normal, bg, znear, zfar,
+              bins_arrays, tiles_x, tiles_y, tile_size, max_per_tile, chunk,
+              backend):
+    if backend == "pallas":
+        from .pallas_surfel import pallas_surfel_fwd
+
+        return pallas_surfel_fwd(
+            acr, bcr, ccr, det, xy, color, opacity, normal, bg, znear, zfar,
+            bins_arrays, tiles_x, tiles_y, tile_size,
+        )
+    out = _xla_scan_fwd(
+        acr, bcr, ccr, det, xy, color, opacity, normal, bg, znear, zfar,
+        bins_arrays, tiles_x, tiles_y, tile_size, max_per_tile, chunk,
+    )
+    return out, None
+
+
+def _composite_fwd(acr, bcr, ccr, det, xy, color, opacity, normal, bg,
+                   znear, zfar, bins_arrays, tiles_x, tiles_y, tile_size,
+                   max_per_tile, chunk, backend="xla"):
+    out, res = _fwd_impl(
+        acr, bcr, ccr, det, xy, color, opacity, normal, bg, znear, zfar,
+        bins_arrays, tiles_x, tiles_y, tile_size, max_per_tile, chunk, backend,
+    )
+    saved = (acr, bcr, ccr, det, xy, color, opacity, normal, bg, znear, zfar,
+             bins_arrays, res, out)
+    return out, saved
+
+
+def _composite_bwd(tiles_x, tiles_y, tile_size, max_per_tile, chunk, backend,
+                   saved, cot):
+    (acr, bcr, ccr, det, xy, color, opacity, normal, bg, znear, zfar,
+     bins_arrays, res, out) = saved
+    if backend == "pallas":
+        from .pallas_surfel import pallas_surfel_bwd
+
+        grads = pallas_surfel_bwd(
+            saved, cot, tiles_x, tiles_y, tile_size,
+        )
+    else:
+        # ground-truth backend: recompute-and-autodiff through the scan
+        def f(acr, bcr, ccr, det, xy, color, opacity, normal, bg):
+            return _xla_scan_fwd(
+                acr, bcr, ccr, det, xy, color, opacity, normal, bg,
+                znear, zfar, bins_arrays, tiles_x, tiles_y, tile_size,
+                max_per_tile, chunk,
+            )
+
+        _, vjp = jax.vjp(f, acr, bcr, ccr, det, xy, color, opacity, normal, bg)
+        grads = vjp(cot)
+    import numpy as np
+
+    d_bins = tuple(
+        np.zeros(np.shape(b), jax.dtypes.float0) for b in bins_arrays
+    )
+    zero = jnp.zeros((), jnp.float32)
+    return (*grads, zero, zero, d_bins)
+
+
+composite_surfels.defvjp(_composite_fwd, _composite_bwd)
+
+
+def _xla_scan_fwd(acr, bcr, ccr, det, xy, color, opacity, normal, bg,
+                  znear, zfar, bins_arrays, tiles_x, tiles_y, tile_size,
+                  max_per_tile, chunk):
+    ids, _, s_ok_full, starts, counts = bins_arrays
+    N = xy.shape[0]
+    ts = tile_size
     num_tiles = tiles_x * tiles_y
     npix = ts * ts
     n_chunks = -(-max_per_tile // chunk)
     X, Y = _tile_pixel_coords(tiles_x, tiles_y, ts)
-    P = sM.shape[0]
-    starts, counts = bins.tile_starts, bins.tile_counts
 
-    # distortion depth mapping: m = far/(far-near) * (1 - near/z)
+    coef = jnp.concatenate(
+        [acr, bcr, ccr, det[:, None], xy, color, opacity[:, None], normal],
+        axis=-1,
+    )  # (N, 19)
+    s_coef = jnp.take(coef, ids, axis=0)
+    s_ok = s_ok_full
+    P = s_coef.shape[0]
+
     def map_depth(z):
         return zfar / (zfar - znear) * (1.0 - znear / jnp.maximum(z, 1e-6))
 
@@ -191,43 +338,32 @@ def rasterize_surfels(
         base = starts[:, None] + c * chunk + jnp.arange(chunk, dtype=jnp.int32)[None, :]
         in_range = (base - starts[:, None]) < counts[:, None]
         idx = jnp.clip(base, 0, P - 1)
-        gM = jnp.take(sM, idx.reshape(-1), axis=0).reshape(*idx.shape, 3, 3)
-        gxy = jnp.take(s_xy, idx.reshape(-1), axis=0).reshape(*idx.shape, 2)
-        gcol = jnp.take(s_color, idx.reshape(-1), axis=0).reshape(*idx.shape, 3)
-        gopa = jnp.take(s_opa, idx.reshape(-1), axis=0).reshape(idx.shape)
-        gdep = jnp.take(s_depth, idx.reshape(-1), axis=0).reshape(idx.shape)
-        gnrm = jnp.take(s_norm, idx.reshape(-1), axis=0).reshape(*idx.shape, 3)
+        g = jnp.take(s_coef, idx.reshape(-1), axis=0).reshape(*idx.shape, 19)
         gok = jnp.take(s_ok, idx.reshape(-1), axis=0).reshape(idx.shape) & in_range
 
-        # ray-splat intersection per (slot, pixel)
-        # h_u = x*M[2] - M[0]; h_v = y*M[2] - M[1]
-        Mx = gM[..., 0, :][..., None, :]   # (T,K,1,3)
-        My = gM[..., 1, :][..., None, :]
-        Mw = gM[..., 2, :][..., None, :]
-        xs = X[:, None, :, None]           # (T,1,npix,1)
-        ys = Y[:, None, :, None]
-        hu = xs * Mw - Mx                  # (T,K,npix,3)
-        hv = ys * Mw - My
-        cr = jnp.cross(hu, hv)
-        denom = cr[..., 2]
-        safe = jnp.where(jnp.abs(denom) < 1e-8, 1e-8, denom)
-        u = cr[..., 0] / safe
-        v = cr[..., 1] / safe
+        xs = X[:, None, :]                 # (T,1,npix)
+        ys = Y[:, None, :]
+        # cr = acr + X*bcr + Y*ccr, per component
+        crx = g[..., 0:1] + xs * g[..., 3:4] + ys * g[..., 6:7]
+        cry = g[..., 1:2] + xs * g[..., 4:5] + ys * g[..., 7:8]
+        crz = g[..., 2:3] + xs * g[..., 5:6] + ys * g[..., 8:9]
+        safe = jnp.where(jnp.abs(crz) < 1e-8, 1e-8, crz)
+        rz = 1.0 / safe
+        u = crx * rz
+        v = cry * rz
         g3d = -0.5 * (u * u + v * v)
         # screen-space low-pass (2D filter around the projected center)
-        dx = X[:, None, :] - gxy[..., 0][..., None]
-        dy = Y[:, None, :] - gxy[..., 1][..., None]
+        dx = xs - g[..., 10:11]
+        dy = ys - g[..., 11:12]
         g2d = -0.5 * (dx * dx + dy * dy) / FILTER_2D_VAR
         power = jnp.maximum(g3d, g2d)
-        # intersection depth: z = dot(Mw_view-row?, ...) — use center depth +
-        # planar variation via w row of M evaluated at (u, v, 1)
-        zhit = (
-            gM[..., 2, 0][..., None] * u
-            + gM[..., 2, 1][..., None] * v
-            + gM[..., 2, 2][..., None]
+        zhit = g[..., 9:10] * rz           # det / cr_z
+        gopa = g[..., 15:16]
+        alpha = jnp.minimum(ALPHA_MAX, gopa * jnp.exp(power))
+        ok = (
+            (power <= 0.0) & (alpha >= ALPHA_MIN) & gok[..., None]
+            & (zhit > NEAR_CULL)
         )
-        alpha = jnp.minimum(ALPHA_MAX, gopa[..., None] * jnp.exp(power))
-        ok = (power <= 0.0) & (alpha >= ALPHA_MIN) & gok[..., None] & (zhit > NEAR_CULL)
         alpha = jnp.where(ok, alpha, 0.0)
 
         one_m = 1.0 - alpha
@@ -250,10 +386,10 @@ def rasterize_surfels(
         a_prefix = 1.0 - T_exc
         dist_add = w * (m * m * a_prefix + m2_prefix - 2.0 * m * m1_prefix)
 
-        C = C + jnp.einsum("tkp,tkc->tpc", w, gcol,
+        C = C + jnp.einsum("tkp,tkc->tpc", w, g[..., 12:15],
                            precision=jax.lax.Precision.HIGHEST)
         Dexp = Dexp + jnp.sum(w * zhit, axis=1)
-        Nacc = Nacc + jnp.einsum("tkp,tkc->tpc", w, gnrm,
+        Nacc = Nacc + jnp.einsum("tkp,tkc->tpc", w, g[..., 16:19],
                                  precision=jax.lax.Precision.HIGHEST)
         dist = dist + jnp.sum(dist_add, axis=1)
         m1 = m1 + jnp.sum(wm, axis=1)
@@ -287,15 +423,9 @@ def rasterize_surfels(
     un = lambda x, ch: (
         _untile(x if x.ndim == 3 else x[..., None], tiles_x, tiles_y, ts, ch)
     )
-    return SurfelOutput(
-        image=jnp.clip(un(image, 3)[:H, :W], 0.0, 1.0),
-        alpha=un(alpha_map, 1)[:H, :W, 0],
-        depth_expected=un(Dexp, 1)[:H, :W, 0],
-        depth_median=un(Dmed, 1)[:H, :W, 0],
-        normal=un(Nacc, 3)[:H, :W],
-        dist=un(dist, 1)[:H, :W, 0],
-        radii=radius,
-        overflow=bins.overflow,
+    return (
+        un(image, 3), un(alpha_map, 1)[..., 0], un(Dexp, 1)[..., 0],
+        un(Dmed, 1)[..., 0], un(Nacc, 3), un(dist, 1)[..., 0],
     )
 
 
