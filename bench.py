@@ -96,4 +96,7 @@ def main():
 
 
 if __name__ == "__main__":
+    from generativedensification_tpu.utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     main()

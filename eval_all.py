@@ -50,4 +50,7 @@ def main(argv):
 
 
 if __name__ == "__main__":
+    from generativedensification_tpu.utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     main(sys.argv[1:])

@@ -30,10 +30,12 @@ def build_model(cfg):
 
 def load_params(cfg, net, sample_batch):
     """Restore params from cfg.infer.ckpt_path (orbax dir or torch ckpt)."""
+    from ..utils.platform import jit_init
+
     ckpt = cfg.infer.ckpt_path
     if ckpt in (None, "None"):
         # random init (useful for pipeline smoke runs)
-        return net.init({"params": jax.random.PRNGKey(0)}, sample_batch, with_fine=True)
+        return jit_init(net, sample_batch, with_fine=True)
     if os.path.isdir(ckpt):
         from ..train.state import restore_checkpoint, TrainState
         import optax
@@ -53,9 +55,7 @@ def load_params(cfg, net, sample_batch):
     if ckpt.endswith((".ckpt", ".pt", ".pth")):
         from ..utils.torch_convert import load_torch_network_params
 
-        init = net.init(
-            {"params": jax.random.PRNGKey(0)}, sample_batch, with_fine=True
-        )
+        init = jit_init(net, sample_batch, with_fine=True)
         return load_torch_network_params(ckpt, init)
     raise FileNotFoundError(ckpt)
 
@@ -130,6 +130,25 @@ def main(cfg: ConfigNode) -> dict:
             _save_comparison(icfg.save_folder, scene, np.asarray(gt[0]),
                              np.asarray(img_c[0]), np.asarray(img_f[0]))
 
+        video_frames = int(icfg.get("video_frames", 0))
+        save_mesh = bool(icfg.get("save_mesh", False))
+        if video_frames > 0 or save_mesh:
+            gaussians = _fine_gaussians(out["render_pkg"])
+            tmats = sample_np.get("transform_mats")
+            if tmats is not None:  # (B, 1, 4, 4) or (B, 4, 4) -> (4, 4)
+                tmats = np.asarray(tmats).reshape(-1, 4, 4)[0]
+            if video_frames > 0:
+                _save_video(
+                    icfg.save_folder, scene, gaussians, net_cfg,
+                    ds_cfg.dataset_name, (H, W), tmats, video_frames,
+                )
+            if save_mesh:
+                _save_mesh(
+                    icfg.save_folder, scene, gaussians, net_cfg,
+                    ds_cfg.dataset_name, (H, W), tmats,
+                    int(icfg.get("mesh_video_frames", 0)),
+                )
+
     means = {}
     if per_scene:
         keys = next(iter(per_scene.values())).keys()
@@ -151,3 +170,85 @@ def _save_comparison(folder, scene, gt, coarse, fine):
     img = np.concatenate([gt, coarse, fine], axis=0)
     img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
     imageio.imwrite(os.path.join(folder, f"{scene}.jpg"), img)
+
+
+def _fine_gaussians(render_pkg):
+    """Cached fine Gaussians (reference ``return_buffer`` contract) ->
+    activated attribute 5-tuple for re-rendering."""
+    centers, sh, op_raw, sc_raw, rot, ok = render_pkg[-1]
+    opa = jnp.where(ok[0], jax.nn.sigmoid(op_raw[0].reshape(-1)), 0.0)
+    return (
+        centers[0],
+        sh[0].reshape(sh.shape[1], -1, 3),
+        opa,
+        jnp.exp(sc_raw[0]),
+        rot[0],
+    )
+
+
+def _renderer(net_cfg):
+    from ..splat import Renderer
+
+    return Renderer(sh_degree=net_cfg.sh_degree, white_background=True)
+
+
+def _render_frames(gaussians, cams, net_cfg):
+    r = _renderer(net_cfg)
+
+    # one jit over the Camera pytree — orbit/mesh paths render 16-48
+    # frames of identical shape, eager execution is ~50x slower
+    @jax.jit
+    def one(cam, centers, sh, opa, scales, rot):
+        return r.render_img(cam, None, centers, sh, opa, scales, rot,
+                            max_tiles=net_cfg.max_tiles,
+                            max_per_tile=net_cfg.max_per_tile)
+
+    return [np.asarray(one(cam, *gaussians)["image"]) for cam in cams]
+
+
+def _save_video(folder, scene, gaussians, net_cfg, ds_name, img_size, tmats,
+                n_frames):
+    """Orbit video of the cached fine Gaussians (``evaluation.py:169-194``)."""
+    import imageio.v2 as imageio
+
+    from ..tools.video_path import uni_video_path
+
+    cams = uni_video_path(n_frames, ds_name, img_size, transform_mats=tmats)
+    frames = _render_frames(gaussians, cams, net_cfg)
+    arr = (np.clip(np.stack(frames), 0, 1) * 255).astype(np.uint8)
+    try:
+        imageio.mimwrite(os.path.join(folder, f"{scene}.mp4"), arr, fps=24)
+    except Exception:  # no ffmpeg backend: fall back to per-frame PNGs
+        for j, fr in enumerate(arr):
+            imageio.imwrite(os.path.join(folder, f"{scene}_f{j:03d}.png"), fr)
+
+
+def _save_mesh(folder, scene, gaussians, net_cfg, ds_name, img_size, tmats,
+               turntable_frames):
+    """TSDF-fuse fine-Gaussian RGB-D renders -> obj
+    (``evaluation.py:197-208``, ``meshExtractor.py:31-139``)."""
+    from ..tools.mesh_extractor import MeshExtractor, save_obj
+    from ..tools.video_path import uni_mesh_path
+
+    half = 0.5 * net_cfg.scene_size
+    aabb = np.array([[-half] * 3, [half] * 3], np.float32)
+    cams = uni_mesh_path(16, ds_name, img_size, transform_mats=tmats)
+    mesh = MeshExtractor(_renderer(net_cfg), aabb).extract(
+        gaussians, cams,
+        max_tiles=net_cfg.max_tiles, max_per_tile=net_cfg.max_per_tile,
+    )
+    verts, faces, colors = mesh
+    path = os.path.join(folder, f"{scene}.obj")
+    save_obj(path, verts, faces, colors)
+    if turntable_frames > 0 and len(faces):
+        import imageio.v2 as imageio
+
+        from ..tools.mesh_render import turntable_frames as tt
+
+        frames = tt(verts, faces, n_frames=turntable_frames,
+                    colors=colors, size=img_size[0])
+        arr = (np.clip(frames, 0, 1) * 255).astype(np.uint8)
+        for j, fr in enumerate(arr):
+            imageio.imwrite(
+                os.path.join(folder, f"{scene}_mesh{j:03d}.png"), fr
+            )

@@ -194,6 +194,7 @@ class VolTransformer(nn.Module):
     num_layers: int = 12
     num_heads: int = 16
     eps: float = 1e-6
+    remat: bool = True  # rematerialize blocks (activation memory)
 
     @nn.compact
     def __call__(self, image_feats):
@@ -221,9 +222,13 @@ class VolTransformer(nn.Module):
         x = jnp.broadcast_to(pos, (B, R, R, R, self.embed_dim))
 
         block_sizes = [R // n for n in self.n_groups]
+        block_cls = (
+            nn.remat(GroupAttBlock, static_argnums=(3, 4))
+            if self.remat else GroupAttBlock
+        )
         for i in range(self.num_layers):
             gi = i % len(self.n_groups)
-            x = GroupAttBlock(
+            x = block_cls(
                 self.embed_dim,
                 self.image_feat_dim,
                 self.num_heads,

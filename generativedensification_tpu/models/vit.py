@@ -55,6 +55,8 @@ class VisionTransformer(nn.Module):
     mlp_ratio: float = 4.0
     base_grid: int = 14  # pos-embed grid at the 224^2 pretraining size
     eps: float = 1e-6
+    remat: bool = True   # rematerialize blocks (512² x 4 views of saved
+                         # attention activations OOM a 16GB chip otherwise)
 
     @nn.compact
     def __call__(self, images, deterministic: bool = True):
@@ -91,8 +93,9 @@ class VisionTransformer(nn.Module):
         cls_tok = jnp.broadcast_to(cls + cls_pos, (B, 1, self.dim))
         x = jnp.concatenate([cls_tok, x], axis=1)
 
+        block_cls = nn.remat(ViTBlock) if self.remat else ViTBlock
         for i in range(self.depth):
-            x = ViTBlock(
+            x = block_cls(
                 self.dim, self.num_heads, self.mlp_ratio, self.eps,
                 name=f"block{i}",
             )(x, deterministic)

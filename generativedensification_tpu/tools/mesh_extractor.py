@@ -245,12 +245,22 @@ class MeshExtractor:
         self.sdf_trunc = sdf_trunc
 
     def extract(self, gaussians, cams, **render_kw):
+        import jax
+
         vol = TSDFVolume(self.aabb, self.voxel_size, self.sdf_trunc)
         centers, shs, opacity, scales, rotations = gaussians
-        for cam in cams:
-            out = self.renderer.render_img(
-                cam, None, centers, shs, opacity, scales, rotations, **render_kw
+
+        # one jit over the Camera pytree: the fusion path renders 48 views
+        # of identical shape; eager execution is ~50x slower
+        @jax.jit
+        def one(cam):
+            return self.renderer.render_img(
+                cam, None, centers, shs, opacity, scales, rotations,
+                **render_kw
             )
+
+        for cam in cams:
+            out = one(cam)
             depth = np.asarray(out["depth"])[..., 0]
             alpha = np.asarray(out["acc_map"])
             # expected-depth -> metric depth

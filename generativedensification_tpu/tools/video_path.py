@@ -107,7 +107,7 @@ def interpolated_frames(n, img_size, c2ws, fov=(0.7, 0.7), znear=1.0, zfar=3.0):
 
 
 def uni_video_path(n, dataset_name, img_size, transform_mats=None, sample=None, fov=None):
-    if dataset_name in ("gobjeverse", "GSO"):
+    if dataset_name in ("gobjeverse", "GSO", "synthetic", "shapenet"):
         return gobjverse_frames(n, img_size, transform_mats, fov=fov)
     if dataset_name in ("instant3d", "mvgen"):
         return instant3d_frames(n, img_size, transform_mats, fov=fov)

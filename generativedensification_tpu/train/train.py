@@ -52,8 +52,10 @@ def main(cfg):
 
     sample = to_device_batch(next(iter(train_loader)))
     with_fine = cfg.train.start_fine < 0
-    params = net.init(
-        {"params": jax.random.PRNGKey(cfg.tpu.seed)}, sample, with_fine=True
+    from ..utils.platform import jit_init
+
+    params = jit_init(
+        net, sample, rng=jax.random.PRNGKey(cfg.tpu.seed), with_fine=True
     )
     n_params = sum(np.prod(p.shape) for p in jax.tree.leaves(params))
     print(f"[train] {n_params/1e6:.1f}M parameters")

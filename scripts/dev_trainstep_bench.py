@@ -38,7 +38,8 @@ cfg = NetworkConfig(
 net = Network(cfg)
 batch = _make_batch(B=B, V_total=8, H=H, W=W, n_views=cfg.n_views)
 t0 = time.time()
-params = net.init({"params": jax.random.PRNGKey(0)}, batch, with_fine=True)
+from generativedensification_tpu.utils.platform import jit_init
+params = jit_init(net, batch, with_fine=True)
 print(f"init: {time.time()-t0:.1f}s; params:",
       sum(x.size for x in jax.tree.leaves(params)) / 1e6, "M")
 tx, _ = make_optimizer(params, accumulate=1)
