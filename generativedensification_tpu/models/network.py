@@ -109,7 +109,10 @@ class NetworkConfig:
     # TPU static-shape knobs (no reference counterpart)
     mask_pool: int = 49152        # static stand-in for the opacity mask
     tile_size: int = 32
-    max_tiles: int = 8
+    max_tiles: int = 4   # slot budget per Gaussian; every slot-space cost is
+                         # linear in it and the voxel-scale primitives of
+                         # this pipeline never cover more than 4 tiles at
+                         # 32px (outputs carry an `overflow` counter)
     max_per_tile: int = 4096
     raster_chunk: int = 32
     white_bkgd: bool = True
@@ -391,7 +394,19 @@ class Network(nn.Module):
                 screen_abs=screen_abs,
             )
 
-        return jax.vmap(one)(cams, bgs)
+        # UNROLLED over views, not vmapped: vmap batches the rasterizer's
+        # backward data plane into giant (V·N·D, 16) gathers whose layout
+        # pinning is lost (profiled 1.45s/step of {0,1} strided gathers at
+        # the flagship config; unrolled views compile like the fast
+        # single-view path).  Each view is rematerialized so only one
+        # view's binning/slab residuals are ever live (8 coarse renders'
+        # residuals at 262k Gaussians otherwise OOM a 16GB chip).
+        one = jax.checkpoint(one)
+        outs = [
+            one(jax.tree.map(lambda x: x[j], cams), bgs[j])
+            for j in range(bgs.shape[0])
+        ]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
 
     # -------------------------------------------------------------- forward
 

@@ -34,6 +34,13 @@ class TileBins:
                                # lets the backward invert the sort with a
                                # cheap 1-D sort instead of a 17ms row scatter
     sorted_valid: jnp.ndarray  # (P,) bool, live slot
+    sorted_rank: jnp.ndarray   # (P,) global depth rank per sorted slot —
+                               # PIECEWISE-INCREASING (slots are depth-
+                               # ordered within each tile), so gathering a
+                               # depth-ordered table with it is cache-local
+                               # (random gaussian-id gathers hit a latency
+                               # wall once the table outgrows ~8MB)
+    depth_order: jnp.ndarray   # (N,) depth rank -> gaussian index
     tile_starts: jnp.ndarray   # (num_tiles,) first sorted-slot of each tile
     tile_counts: jnp.ndarray   # (num_tiles,) number of live slots per tile
     overflow: jnp.ndarray      # () int32 — tiles dropped by the slot cap
@@ -106,6 +113,7 @@ def bin_gaussians(
 
     sorted_keys, sorted_o = jax.lax.sort_key_val(keys, o)
     sorted_ids = sorted_o // max_tiles
+    sorted_rank = jax.lax.rem(sorted_keys, jnp.int32(n_pow2))
     sorted_valid = sorted_keys != dead_key
     sorted_tile = jnp.where(
         sorted_valid, sorted_keys // n_pow2, jnp.int32(num_tiles)
@@ -123,6 +131,8 @@ def bin_gaussians(
         sorted_ids=sorted_ids,
         sorted_o=sorted_o,
         sorted_valid=sorted_valid,
+        sorted_rank=sorted_rank,
+        depth_order=order,
         tile_starts=tile_starts,
         tile_counts=tile_ends - tile_starts,
         overflow=overflow,

@@ -196,8 +196,8 @@ def composite_tiles(
       xy_abs: (N, 2) zeros; its cotangent returns the AbsGS absolute
         screen-space gradients.
       bg: (3,) background color.
-      bins_arrays: (sorted_ids, sorted_o, sorted_valid, tile_starts,
-        tile_counts) from ``TileBins``.
+      bins_arrays: (sorted_ids, sorted_o, sorted_valid, sorted_rank,
+        depth_order, tile_starts, tile_counts) from ``TileBins``.
     Returns:
       image (H, W, 3), alpha (H, W), depth (H, W).
     """
@@ -297,7 +297,7 @@ def _chunk_alpha_cols(tab, X, Y):
 
 def _xla_fwd(xy, conic, color, opacity, depth, bg, bins_arrays,
              tiles_x, tiles_y, tile_size, max_per_tile, chunk):
-    ids, _, _, tile_starts, tile_counts = bins_arrays
+    ids, _, _, _, _, tile_starts, tile_counts = bins_arrays
     ts = tile_size
     num_tiles = tiles_x * tiles_y
     n_chunks = -(-max_per_tile // chunk)
@@ -356,7 +356,7 @@ def _xla_fwd(xy, conic, color, opacity, depth, bg, bins_arrays,
 
 def _xla_bwd(saved, cot, tiles_x, tiles_y, ts, max_per_tile, chunk):
     xy, conic, color, opacity, depth, bg, bins_arrays, res = saved
-    ids, _, _, tile_starts, tile_counts = bins_arrays
+    ids, _, _, _, _, tile_starts, tile_counts = bins_arrays
     gC, gA, gD, G, gTf, d_bg = _bwd_common(saved, cot, tiles_x, tiles_y, ts)
     C_fin, D_fin, T_fin = res[:3]
     num_tiles = tiles_x * tiles_y
@@ -460,7 +460,7 @@ def _slab_maps(bins_arrays, num_tiles):
     (M-1 = a never-written, zero row for dead slots).  Everything here is
     1-D int32 sorts/cummaxes — the many-row scatter/gather formulations
     all hit serialized or strided XLA paths (5-17ms at 1M slots)."""
-    ids, sorted_o, sorted_valid, tile_starts, tile_counts = bins_arrays
+    ids, sorted_o, sorted_valid, _, _, tile_starts, tile_counts = bins_arrays
     P = ids.shape[0]
     astarts, pos = _aligned_layout(
         tile_starts, tile_counts, sorted_valid, P, num_tiles
@@ -469,16 +469,32 @@ def _slab_maps(bins_arrays, num_tiles):
     return astarts, apos
 
 
-def _sorted_slab(xy, conic, color, opacity, depth, ids):
-    """(16, P_slab) attribute-major sorted-order table: ONE small-operand
-    axis-1 gather (~1.9ms at 1M slots), lane-padded by a safety CHUNK for
-    the kernels' aligned-down overrunning DMA."""
+# direct random-id gathers are fine while the attribute table stays small;
+# above this the two-hop depth-order gather wins (see _sorted_slab)
+DIRECT_GATHER_MAX_N = 1 << 17
+
+
+def _sorted_slab(xy, conic, color, opacity, depth, ids, depth_order,
+                 sorted_rank):
+    """(16, P_slab) attribute-major sorted-order table, lane-padded by a
+    safety CHUNK for the kernels' aligned-down overrunning DMA.
+
+    Small N: one direct gaussian-id gather.  Large N: two-hop — depth-
+    reorder the table (N-sized), then expand to slots by PIECEWISE-
+    MONOTONE depth ranks.  The direct gather is random-access and hits a
+    latency wall once the table outgrows ~8MB (1.9ms at 131k gaussians
+    but 10.4ms at 262k); the rank gather walks each tile's segment in
+    increasing order (~5ms at 262k) at a ~4% cost for small N."""
     from .pallas_kernels import CHUNK
 
-    P = ids.shape[0]
+    P = sorted_rank.shape[0]
     pad = (-P) % CHUNK + CHUNK
     table_t = _pack_table_t(xy, conic, color, opacity, depth)
-    sorted_t = jnp.take(table_t, ids, axis=1, mode="clip")
+    if table_t.shape[1] <= DIRECT_GATHER_MAX_N:
+        sorted_t = jnp.take(table_t, ids, axis=1, mode="clip")
+    else:
+        depth_t = jnp.take(table_t, depth_order, axis=1, mode="clip")
+        sorted_t = jnp.take(depth_t, sorted_rank, axis=1, mode="clip")
     return jnp.pad(sorted_t, ((0, 0), (0, pad)))
 
 
@@ -486,10 +502,12 @@ def _pallas_fwd(xy, conic, color, opacity, depth, bg, bins_arrays,
                 tiles_x, tiles_y, tile_size):
     from .pallas_kernels import pallas_composite_fwd
 
-    ids, _, _, tile_starts, tile_counts = bins_arrays
+    ids, _, _, sorted_rank, depth_order, tile_starts, tile_counts = bins_arrays
     num_tiles = tiles_x * tiles_y
     astarts, apos = _slab_maps(bins_arrays, num_tiles)
-    slab_t = _sorted_slab(xy, conic, color, opacity, depth, ids)
+    slab_t = _sorted_slab(
+        xy, conic, color, opacity, depth, ids, depth_order, sorted_rank
+    )
     Cr, Cg, Cb, alpha_t, D, T_eff = pallas_composite_fwd(
         slab_t, tile_starts, tile_counts, tiles_x, tiles_y, tile_size
     )
@@ -516,13 +534,15 @@ def _pallas_bwd(saved, cot, tiles_x, tiles_y, ts):
     )
 
     xy, conic, color, opacity, depth, bg, bins_arrays, res = saved
-    ids, _, _, tile_starts, tile_counts = bins_arrays
+    ids, _, _, sorted_rank, depth_order, tile_starts, tile_counts = bins_arrays
     C_fin, D_fin, T_fin, astarts, apos = res
     gC, gA, gD, G, gTf, d_bg = _bwd_common(saved, cot, tiles_x, tiles_y, ts)
 
     num_tiles = tiles_x * tiles_y
-    M = _grad_slab_width(ids.shape[0], num_tiles)
-    slab_t = _sorted_slab(xy, conic, color, opacity, depth, ids)
+    M = _grad_slab_width(sorted_rank.shape[0], num_tiles)
+    slab_t = _sorted_slab(
+        xy, conic, color, opacity, depth, ids, depth_order, sorted_rank
+    )
     grad_al = pallas_composite_bwd(
         slab_t, tile_starts, tile_counts, astarts, M, gC, gA, gD, G, gTf,
         tiles_x, tiles_y, ts,

@@ -238,13 +238,22 @@ def _pack_surfel_table_t(acr, bcr, ccr, det, xy, color, opacity, normal):
     return jnp.stack(rows, axis=0)
 
 
-def _sorted_surfel_slab(acr, bcr, ccr, det, xy, color, opacity, normal, ids):
-    P = ids.shape[0]
+def _sorted_surfel_slab(acr, bcr, ccr, det, xy, color, opacity, normal,
+                        ids, depth_order, sorted_rank):
+    # direct gather for small N, two-hop depth-order + piecewise-monotone
+    # rank gather above it (see composite._sorted_slab for the rationale)
+    from .composite import DIRECT_GATHER_MAX_N
+
+    P = sorted_rank.shape[0]
     pad = (-P) % CHUNK + CHUNK
     table_t = _pack_surfel_table_t(
         acr, bcr, ccr, det, xy, color, opacity, normal
     )
-    sorted_t = jnp.take(table_t, ids, axis=1, mode="clip")
+    if table_t.shape[1] <= DIRECT_GATHER_MAX_N:
+        sorted_t = jnp.take(table_t, ids, axis=1, mode="clip")
+    else:
+        depth_t = jnp.take(table_t, depth_order, axis=1, mode="clip")
+        sorted_t = jnp.take(depth_t, sorted_rank, axis=1, mode="clip")
     return jnp.pad(sorted_t, ((0, 0), (0, pad)))
 
 
@@ -253,10 +262,11 @@ def pallas_surfel_fwd(acr, bcr, ccr, det, xy, color, opacity, normal, bg,
     from .composite import _untile
 
     assert tile_size == 32, "pallas surfel path is specialized to 32px tiles"
-    ids, _, _, tile_starts, tile_counts = bins_arrays
+    ids, _, _, sorted_rank, depth_order, tile_starts, tile_counts = bins_arrays
     num_tiles = tiles_x * tiles_y
     slab_t = _sorted_surfel_slab(
-        acr, bcr, ccr, det, xy, color, opacity, normal, ids
+        acr, bcr, ccr, det, xy, color, opacity, normal,
+        ids, depth_order, sorted_rank,
     )
     scal = jnp.stack([znear.astype(jnp.float32), zfar.astype(jnp.float32)])
 
@@ -477,7 +487,7 @@ def pallas_surfel_bwd(saved, cot, tiles_x, tiles_y, tile_size):
 
     (acr, bcr, ccr, det, xy, color, opacity, normal, bg, znear, zfar,
      bins_arrays, res, out) = saved
-    ids, _, _, tile_starts, tile_counts = bins_arrays
+    ids, _, _, sorted_rank, depth_order, tile_starts, tile_counts = bins_arrays
     gC_img, gA_img, gDexp_img, gDmed_img, gN_img, gdist_img = cot
     C_t, N_t, Dexp_t, dist_t, m1_t, m2_t, Tfin_t = res
     ts = tile_size
@@ -521,7 +531,8 @@ def pallas_surfel_bwd(saved, cot, tiles_x, tiles_y, tile_size):
     astarts, apos = _slab_maps(bins_arrays, num_tiles)
     M = _grad_slab_width(ids.shape[0], num_tiles)
     slab_t = _sorted_surfel_slab(
-        acr, bcr, ccr, det, xy, color, opacity, normal, ids
+        acr, bcr, ccr, det, xy, color, opacity, normal,
+        ids, depth_order, sorted_rank,
     )
     scal = jnp.stack([znear.astype(jnp.float32), zfar.astype(jnp.float32)])
     zeros_grad = jnp.zeros((SLAB_W2, M), jnp.float32)

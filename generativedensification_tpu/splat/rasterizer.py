@@ -100,6 +100,7 @@ def rasterize(
         proj.depth,
         bg.astype(jnp.float32),
         (bins.sorted_ids, bins.sorted_o, bins.sorted_valid,
+         bins.sorted_rank, bins.depth_order,
          bins.tile_starts, bins.tile_counts),
         bins.tiles_x,
         bins.tiles_y,

@@ -212,6 +212,7 @@ def rasterize_surfels(
         jnp.asarray(camera.znear, jnp.float32),
         jnp.asarray(camera.zfar, jnp.float32),
         (bins.sorted_ids, bins.sorted_o, bins.sorted_valid,
+         bins.sorted_rank, bins.depth_order,
          bins.tile_starts, bins.tile_counts),
         bins.tiles_x, bins.tiles_y, tile_size, max_per_tile, chunk, backend,
     )
@@ -314,7 +315,7 @@ composite_surfels.defvjp(_composite_fwd, _composite_bwd)
 def _xla_scan_fwd(acr, bcr, ccr, det, xy, color, opacity, normal, bg,
                   znear, zfar, bins_arrays, tiles_x, tiles_y, tile_size,
                   max_per_tile, chunk):
-    ids, _, s_ok_full, starts, counts = bins_arrays
+    ids, _, s_ok_full, _, _, starts, counts = bins_arrays
     N = xy.shape[0]
     ts = tile_size
     num_tiles = tiles_x * tiles_y

@@ -86,12 +86,49 @@ def main(cfg):
     train_step = nan_guard(train_step, enabled=bool(cfg.tpu.nan_check))
     profile_dir = cfg.tpu.profile_dir
 
-    try:
-        from tensorboardX import SummaryWriter
+    # TB or wandb (reference train_lightning.py:52-56 logger switch)
+    tb = wandb = None
+    if cfg.logger.get("name", "tensorboard") == "wandb":
+        try:
+            import wandb as _wandb
 
-        tb = SummaryWriter(os.path.join(cfg.logger.dir, cfg.exp_name, "tb"))
-    except Exception:
-        tb = None
+            _wandb.init(project=cfg.logger.get("project", "gd_tpu"),
+                        name=cfg.exp_name, config=dict(cfg))
+            wandb = _wandb
+        except Exception as e:
+            print(f"[train] wandb unavailable ({e}); falling back to TB")
+    if wandb is None:
+        try:
+            from tensorboardX import SummaryWriter
+
+            tb = SummaryWriter(os.path.join(cfg.logger.dir, cfg.exp_name, "tb"))
+        except Exception:
+            tb = None
+
+    def log_scalars(prefix, scalars, step):
+        if wandb:
+            wandb.log({f"{prefix}/{k}": v for k, v in scalars.items()}, step=step)
+        elif tb:
+            for k, v in scalars.items():
+                tb.add_scalar(f"{prefix}/{k}", v, step)
+
+    def log_images(batch_np, out, step):
+        """gt / coarse / fine panel every image_interval steps
+        (reference system.py:42-43 + vis.py)."""
+        from ..utils.vis import make_panel
+
+        B, V, H, W, _ = batch_np["tar_rgb"].shape
+        gt = batch_np["tar_rgb"][0].transpose(1, 0, 2, 3).reshape(H, V * W, 3)
+        panel = make_panel(
+            gt,
+            np.asarray(out["image"][0]),
+            np.asarray(out.get("image_fine", out["image"])[0]),
+            depth=np.asarray(out["depth"][0, ..., 0]),
+        )
+        if wandb:
+            wandb.log({"train/panel": wandb.Image(panel)}, step=step)
+        elif tb:
+            tb.add_image("train/panel", panel.transpose(2, 0, 1), step)
 
     step = int(state.step)
     for epoch in range(cfg.train.n_epoch):
@@ -105,9 +142,12 @@ def main(cfg):
                 s["lr"] = float(schedule(jnp.asarray(step)))
                 msg = " ".join(f"{k}={v:.4g}" for k, v in sorted(s.items()))
                 print(f"[epoch {epoch} step {step}] {msg}", flush=True)
-                if tb:
-                    for k, v in s.items():
-                        tb.add_scalar(f"train/{k}", v, step)
+                log_scalars("train", s, step)
+            if step % int(cfg.logger.get("image_interval", 1000)) == 0 and (
+                tb or wandb
+            ):
+                out, _ = eval_step(state.params, batch)
+                log_images(batch_np, jax.device_get(out), step)
 
         # validation (metric mean across the val slice)
         if (epoch + 1) % cfg.train.check_val_every_n_epoch == 0:
@@ -123,9 +163,7 @@ def main(cfg):
                 print(f"[val epoch {epoch}] " + " ".join(
                     f"{k}={v:.4g}" for k, v in sorted(means.items())
                 ), flush=True)
-                if tb:
-                    for k, v in means.items():
-                        tb.add_scalar(f"val/{k}", v, step)
+                log_scalars("val", means, step)
 
         if (epoch + 1) % 2 == 0 or epoch == cfg.train.n_epoch - 1:
             save_checkpoint(ckpt_dir, jax.device_get(state), step)

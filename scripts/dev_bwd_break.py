@@ -24,7 +24,7 @@ bg = jnp.ones(3)
 
 proj = jax.jit(lambda: project_gaussians(means, None, shs, opa, cam, 1, scales=scales, rotations=quats))()
 bins = jax.jit(lambda: bin_gaussians(proj, H, W, 32, 8))()
-ba = (bins.sorted_ids, bins.sorted_o, bins.sorted_valid, bins.tile_starts, bins.tile_counts)
+ba = (bins.sorted_ids, bins.sorted_o, bins.sorted_valid, bins.sorted_rank, bins.depth_order, bins.tile_starts, bins.tile_counts)
 tiles_x = tiles_y = 16; ts = 32; num_tiles = 256
 xy, conic, color, opacity, depth = proj.xy, proj.conic, proj.color, jnp.where(proj.valid, proj.opacity, 0.), proj.depth
 

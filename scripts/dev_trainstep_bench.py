@@ -31,7 +31,7 @@ cfg = NetworkConfig(
     upscale_factor=(2, 4),
     mask_pool=int(os.environ.get("MASKPOOL", 49152)),
     tile_size=32,
-    max_tiles=8,
+    max_tiles=4,
     max_per_tile=4096,
     raster_chunk=32,
 )

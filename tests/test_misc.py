@@ -104,3 +104,49 @@ class TestDebugHooks:
             guarded(None, None)
         ok = nan_guard(lambda s, b: (s, {"loss": 1.0}), enabled=True)
         assert ok(None, None)[1]["loss"] == 1.0
+
+
+class TestNeighborIdx:
+    def test_matches_bruteforce(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from generativedensification_tpu.points.structure import (
+            PointSet, compute_neighbor_idx,
+        )
+
+        rng = np.random.default_rng(0)
+        B, N = 2, 64
+        gc = rng.integers(0, 6, size=(B, N, 3)).astype(np.int32)  # collisions
+        mask = np.ones((B, N), bool)
+        mask[:, -5:] = False
+        ps = PointSet(
+            coord=jnp.asarray(gc, jnp.float32),
+            feat=jnp.zeros((B, N, 4)),
+            mask=jnp.asarray(mask),
+            grid_size=jnp.asarray(1.0),
+            grid_coord=jnp.asarray(gc),
+        )
+        nbr = np.asarray(compute_neighbor_idx(ps).neighbor_idx)
+
+        offs = np.stack(
+            np.meshgrid(*([np.arange(-1, 2)] * 3), indexing="ij"), axis=-1
+        ).reshape(27, 3)
+        for b in range(B):
+            occupied = {}
+            for i in range(N):
+                if mask[b, i]:
+                    occupied.setdefault(tuple(gc[b, i]), []).append(i)
+            for i in range(N):
+                if not mask[b, i]:
+                    assert (nbr[b, i] == -1).all()
+                    continue
+                for k in range(27):
+                    want = occupied.get(tuple(gc[b, i] + offs[k]))
+                    got = nbr[b, i, k]
+                    if want is None:
+                        assert got == -1, (b, i, k)
+                    else:
+                        # any co-located point is a valid representative
+                        assert got in want, (b, i, k, got, want)
+                # the center offset must resolve to the point's own voxel
+                assert nbr[b, i, 13] in occupied[tuple(gc[b, i])]

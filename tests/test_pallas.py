@@ -31,8 +31,11 @@ def _data(seed=0):
     opa = jnp.asarray(rng.uniform(0.2, 0.95, N), jnp.float32)
     depth = jnp.asarray(rng.uniform(1, 3, N), jnp.float32)
     bg = jnp.asarray([0.3, 0.6, 0.9])
+    # depth_order = identity makes sorted_rank == ids (the slab gather
+    # composes depth_order[sorted_rank])
     return xy, conic, color, opa, depth, bg, (
         jnp.asarray(ids), jnp.asarray(sorted_o), jnp.asarray(valid),
+        jnp.asarray(ids), jnp.arange(N, dtype=jnp.int32),
         starts, counts
     )
 
