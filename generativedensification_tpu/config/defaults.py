@@ -107,12 +107,16 @@ BASE = {
     # -- TPU-native group (no reference counterpart) -------------------------
     "tpu": {
         "mesh": {"data": -1},       # -1: all devices on the data axis
-        "param_dtype": "float32",
+        "param_dtype": "float32",   # master weights (fixed; AMP-style policy)
         "compute_dtype": "bfloat16",
         "rasterizer_backend": "auto",  # auto | pallas | xla (jnp reference)
         "renderer": "3dgs",            # 3dgs | 2dgs
+        "depth_ratio": 0.0,            # 2DGS expected/median depth blend
         "tile_size": 32,
-        "max_pairs": None,             # None: derived from N and resolution
+        "max_tiles": 4,                # slot budget per Gaussian
+        "max_per_tile": 4096,
+        "raster_chunk": 32,
+        "vmap_renders": False,         # vmap-over-B renders (CPU mesh/tests)
         "remat": True,
         "seed": 0,
         "profile_dir": None,

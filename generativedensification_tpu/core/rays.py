@@ -42,6 +42,27 @@ def build_rays(c2ws: jnp.ndarray, ixts: jnp.ndarray, H: int, W: int, scale: floa
     return jnp.concatenate([origins, dirs], axis=-1)
 
 
+def camera_rays(cam) -> jnp.ndarray:
+    """Per-pixel rays (H, W, 6) straight from a ``core.Camera``.
+
+    Equivalent to ``build_rays(c2w, K, H, W)`` for the camera's pose and
+    fov-derived intrinsics (pixel centers at +0.5, unnormalized
+    directions).  Used by the 2DGS render path's depth->normal lift, where
+    the reference threads the loader's ``batch['tar_rays']``
+    (``renderer_2dgs.py:75-90``) — same math, recomputed from the camera.
+    """
+    H, W = cam.height, cam.width
+    x = (jnp.arange(W, dtype=jnp.float32) + 0.5 - W / 2.0) / cam.focal_x
+    y = (jnp.arange(H, dtype=jnp.float32) + 0.5 - H / 2.0) / cam.focal_y
+    X, Y = jnp.meshgrid(x, y, indexing="xy")
+    d_cam = jnp.stack([X, Y, jnp.ones_like(X)], axis=-1)  # (H, W, 3)
+    R_c2w = cam.world_view_transform[:3, :3]  # w2c.T upper block = R_c2w
+    dirs = jnp.einsum("hwc,dc->hwd", d_cam, R_c2w)
+    origin = -cam.camera_center  # camera_center = -c2w[:3, 3] convention
+    origins = jnp.broadcast_to(origin, dirs.shape)
+    return jnp.concatenate([origins, dirs], axis=-1)
+
+
 def build_rays_ortho(c2ws: jnp.ndarray, H: int, W: int, scale: float = 1.0):
     """Orthographic rays (``dataLoader/utils.py:37-54`` semantics).
 

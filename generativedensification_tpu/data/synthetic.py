@@ -39,6 +39,40 @@ def orbit_c2ws(n: int, radius: float = 1.9, elevation: float = 0.3):
     return np.stack(out)
 
 
+def make_probe_batch(B: int, V_total: int, H: int, W: int, n_views: int,
+                     seed: int = 0):
+    """Random-image batch with a geometrically consistent orbit camera rig
+    — the cheap shape/compile probe used by the driver contracts and the
+    converter CLI (no rendering, no IO)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    fov = 0.8
+    c2ws = orbit_c2ws(V_total)
+    w2cs = np.linalg.inv(c2ws)
+    c2ws, w2cs, _, r = align_first_view(c2ws, w2cs)
+    ixt = fov_to_ixt(np.array([fov, fov]), [W, H])
+    ixts = np.tile(ixt, (V_total, 1, 1))
+    rays_down = build_rays_np(c2ws, ixts.copy(), H, W, 1.0 / 16)
+
+    tile = lambda x: jnp.asarray(np.tile(x[None], (B,) + (1,) * x.ndim))
+    return {
+        "tar_rgb": jnp.asarray(
+            rng.uniform(size=(B, V_total, H, W, 3)).astype(np.float32)
+        ),
+        "tar_c2w": tile(c2ws),
+        "tar_w2c": tile(w2cs),
+        "tar_ixt": tile(ixts.astype(np.float32)),
+        "fovx": jnp.full((B,), fov, jnp.float32),
+        "fovy": jnp.full((B,), fov, jnp.float32),
+        "near_far": jnp.asarray(
+            np.tile([r - 0.8, r + 0.8], (B, 1)).astype(np.float32)
+        ),
+        "bg_color": jnp.ones((B, V_total, 3), jnp.float32),
+        "tar_rays_down": tile(rays_down),
+    }
+
+
 @register_dataset("synthetic")
 class SyntheticDataset:
     def __init__(self, cfg):

@@ -16,7 +16,9 @@ import jax.numpy as jnp
 import numpy as np
 
 _VGG_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512, "M", 512, 512, 512]
-_VGG_TAPS = (1, 4, 8, 12, 16)  # conv indices after whose relu features are tapped
+# conv indices (counting convs only) after whose relu features are tapped:
+# relu1_2, relu2_2, relu3_3, relu4_3, relu5_3 (lpips vgg16 slices)
+_VGG_TAPS = (1, 3, 6, 9, 12)
 
 _ALEX_CFG = [
     # (out, kernel, stride, pad)

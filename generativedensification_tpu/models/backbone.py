@@ -15,6 +15,8 @@ reference ``lightning/network.py``:
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -91,12 +93,15 @@ class ModLN(nn.Module):
 
     inner_dim: int
     eps: float = 1e-6
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, cond):
-        mod = nn.Dense(self.inner_dim * 2, name="mlp")(nn.silu(cond))
+        mod = nn.Dense(self.inner_dim * 2, dtype=self.dtype, name="mlp")(
+            nn.silu(cond).astype(self.dtype)
+        )
         shift, scale = jnp.split(mod, 2, axis=-1)
-        x = nn.LayerNorm(epsilon=self.eps, name="norm")(x)
+        x = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="norm")(x)
         return x * (1 + scale) + shift
 
 
@@ -108,22 +113,29 @@ class CrossAttention(nn.Module):
     num_heads: int
     kv_dim: int
     use_bias: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, q_in, kv_in):
         H = self.num_heads
         D = self.dim // H
-        q = nn.Dense(self.dim, use_bias=self.use_bias, name="q")(q_in)
-        k = nn.Dense(self.dim, use_bias=self.use_bias, name="k")(kv_in)
-        v = nn.Dense(self.dim, use_bias=self.use_bias, name="v")(kv_in)
+        q_in = q_in.astype(self.dtype)
+        kv_in = kv_in.astype(self.dtype)
+        q = nn.Dense(self.dim, use_bias=self.use_bias, dtype=self.dtype, name="q")(q_in)
+        k = nn.Dense(self.dim, use_bias=self.use_bias, dtype=self.dtype, name="k")(kv_in)
+        v = nn.Dense(self.dim, use_bias=self.use_bias, dtype=self.dtype, name="v")(kv_in)
         q = q.reshape(*q.shape[:-1], H, D)
         k = k.reshape(*k.shape[:-1], H, D)
         v = v.reshape(*v.shape[:-1], H, D)
-        attn = jnp.einsum("...qhd,...khd->...hqk", q, k) * (D**-0.5)
-        attn = jax.nn.softmax(attn, axis=-1)
+        # fp32 softmax island (bf16-mixed policy)
+        attn = jnp.einsum(
+            "...qhd,...khd->...hqk", q, k,
+            preferred_element_type=jnp.float32,
+        ) * (D**-0.5)
+        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
         out = jnp.einsum("...hqk,...khd->...qhd", attn, v)
         out = out.reshape(*out.shape[:-2], self.dim)
-        return nn.Dense(self.dim, use_bias=self.use_bias, name="out")(out)
+        return nn.Dense(self.dim, use_bias=self.use_bias, dtype=self.dtype, name="out")(out)
 
 
 def _unfold3d(x: jnp.ndarray, g: int, bs: int) -> jnp.ndarray:
@@ -153,31 +165,34 @@ class GroupAttBlock(nn.Module):
     num_heads: int
     mlp_ratio: float = 2.0
     eps: float = 1e-6
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, cond, group_axis: int, block_size: int):
         """x: (B, D, H, W, C); cond: (B, g³, L_cond, cond_dim)."""
         B = x.shape[0]
         g, bs = group_axis, block_size
+        x = x.astype(self.dtype)
         patches = _unfold3d(x, g, bs)                  # (B, g³, bs³, C)
 
-        h = nn.LayerNorm(epsilon=self.eps, name="norm1")(patches)
+        h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="norm1")(patches)
         h = CrossAttention(
-            self.inner_dim, self.num_heads, self.cond_dim, name="cross_attn"
+            self.inner_dim, self.num_heads, self.cond_dim,
+            dtype=self.dtype, name="cross_attn"
         )(h, cond)
         patches = patches + h
 
-        h = nn.LayerNorm(epsilon=self.eps, name="norm2")(patches)
-        h = nn.Dense(int(self.inner_dim * self.mlp_ratio), name="mlp_fc1")(h)
+        h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="norm2")(patches)
+        h = nn.Dense(int(self.inner_dim * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(h)
         h = nn.gelu(h)
-        h = nn.Dense(self.inner_dim, name="mlp_fc2")(h)
+        h = nn.Dense(self.inner_dim, dtype=self.dtype, name="mlp_fc2")(h)
         patches = patches + h
 
-        patches = nn.LayerNorm(epsilon=self.eps, name="norm3")(patches)
+        patches = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="norm3")(patches)
         vol = _fold3d(patches, g, bs)                  # (B, D, H, W, C)
         vol = vol + nn.Conv(
             self.inner_dim, (3, 3, 3), padding="SAME", use_bias=False,
-            name="cnn",
+            dtype=self.dtype, name="cnn",
         )(vol)
         return vol
 
@@ -195,6 +210,7 @@ class VolTransformer(nn.Module):
     num_heads: int = 16
     eps: float = 1e-6
     remat: bool = True  # rematerialize blocks (activation memory)
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, image_feats):
@@ -221,6 +237,8 @@ class VolTransformer(nn.Module):
         )
         x = jnp.broadcast_to(pos, (B, R, R, R, self.embed_dim))
 
+        conds = [c.astype(self.dtype) for c in conds]
+        x = x.astype(self.dtype)
         block_sizes = [R // n for n in self.n_groups]
         block_cls = (
             nn.remat(GroupAttBlock, static_argnums=(3, 4))
@@ -232,10 +250,12 @@ class VolTransformer(nn.Module):
                 self.embed_dim,
                 self.image_feat_dim,
                 self.num_heads,
+                dtype=self.dtype,
                 name=f"layer{i}",
             )(x, conds[gi], self.n_groups[gi], block_sizes[gi])
 
-        x = nn.LayerNorm(epsilon=self.eps, name="norm")(x)
+        # final norm + deconv in f32: feeds the (f32) Gaussian heads
+        x = nn.LayerNorm(epsilon=self.eps, name="norm")(x.astype(jnp.float32))
         x = nn.ConvTranspose(
             self.out_dim, (2, 2, 2), strides=(2, 2, 2), name="deconv"
         )(x)

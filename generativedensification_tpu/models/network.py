@@ -33,8 +33,10 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from flax import struct
+
 from ..core.camera import Camera
-from ..core.rays import rays_to_plucker
+from ..core.rays import camera_rays, rays_to_plucker
 from ..core.sh import rsh_cart
 from ..points.modules import (
     Block,
@@ -52,6 +54,7 @@ from ..points.structure import (
     serialize_pointset,
 )
 from ..splat.rasterizer import rasterize
+from ..splat.surfel import depth_to_normal, rasterize_surfels
 from .backbone import (
     GaussianDecoder,
     ModLN,
@@ -117,6 +120,21 @@ class NetworkConfig:
     raster_chunk: int = 32
     white_bkgd: bool = True
     scene_size: float = 0.5
+    # bf16-mixed policy (reference: precision="bf16-mixed",
+    # train_lightning.py:79): transformers/MLPs compute in compute_dtype
+    # with f32 params; fp32 islands = softmax stats, LN stats, Gaussian
+    # heads, rasterizer, loss.  "float32" disables.
+    compute_dtype: str = "float32"
+    renderer: str = "3dgs"  # "3dgs" | "2dgs" (tpu.renderer config knob)
+    depth_ratio: float = 0.0  # 2DGS expected/median depth blend
+                              # (renderer_2dgs.py:261; 0 = expected)
+    backend: str = "auto"     # rasterizer backend: auto | pallas | xla
+    # vmap the per-sample render/selection loops over B instead of Python
+    # unrolling.  On TPU the unrolled form is faster (vmap loses the
+    # rasterizer data plane's layout pinning, PERF.md) but the unroll
+    # traces B copies of the graph — on the virtual CPU mesh (dryrun,
+    # tests, B = n_devices) vmap cuts compile time ~B-fold.
+    vmap_renders: bool = False
 
     @classmethod
     def from_config(cls, cfg: Any) -> "NetworkConfig":
@@ -166,7 +184,16 @@ class NetworkConfig:
             tile_size=get(tpu, "tile_size", cls.tile_size),
             max_tiles=get(tpu, "max_tiles", cls.max_tiles),
             max_per_tile=get(tpu, "max_per_tile", cls.max_per_tile),
+            compute_dtype=get(tpu, "compute_dtype", cls.compute_dtype),
+            renderer=get(tpu, "renderer", cls.renderer),
+            depth_ratio=get(tpu, "depth_ratio", cls.depth_ratio),
+            vmap_renders=get(tpu, "vmap_renders", cls.vmap_renders),
+            backend=get(tpu, "rasterizer_backend", cls.backend),
         )
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
 
     @property
     def sh_dim(self) -> int:
@@ -203,6 +230,22 @@ class NetworkConfig:
             )
             n = k
         return sizes
+
+
+@struct.dataclass
+class SurfelViewRenders:
+    """Per-view 2DGS render outputs (the reference renderer_2dgs.py:224-269
+    surface): the extra normal/distortion maps drive the 2DGS regularizers
+    in ``train/loss.py:142-152``."""
+
+    image: jnp.ndarray         # (V, H, W, 3)
+    alpha: jnp.ndarray         # (V, H, W)
+    depth: jnp.ndarray         # (V, H, W) surf_depth blend
+    radii: jnp.ndarray         # (V, N)
+    overflow: jnp.ndarray      # (V,)
+    dist: jnp.ndarray          # (V, H, W) distortion map
+    rend_normal: jnp.ndarray   # (V, H, W, 3) world-space rendered normal
+    depth_normal: jnp.ndarray  # (V, H, W, 3) depth-derived pseudo normal
 
 
 class DensifierStage(nn.Module):
@@ -252,6 +295,7 @@ class DensifierStage(nn.Module):
                 drop_path=dpr_s[i],
                 pre_norm=cfg.pre_norm,
                 order_index=i % len(cfg.order),
+                dtype=cfg.dtype,
                 name=f"block{i}",
             )(ps, deterministic=deterministic)
 
@@ -264,6 +308,7 @@ class DensifierStage(nn.Module):
             enable_absolute_pe=cfg.enable_absolute_pe,
             is_first=(s == 0),
             carry_attribute=cfg.enable_residual_attribute,
+            dtype=cfg.dtype,
             name="up",
         )(ps, deterministic=deterministic)
 
@@ -320,8 +365,8 @@ class Network(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        self.img_encoder = DinoEncoder(cfg.encoder_backbone)
-        self.dir_norm = ModLN(self.img_encoder.num_features)
+        self.img_encoder = DinoEncoder(cfg.encoder_backbone, dtype=cfg.dtype)
+        self.dir_norm = ModLN(self.img_encoder.num_features, dtype=cfg.dtype)
         if cfg.view_embed_dim > 0:
             self.view_embed = self.param(
                 "view_embed",
@@ -336,6 +381,7 @@ class Network(nn.Module):
             out_dim=cfg.vol_embedding_out_dim,
             num_layers=cfg.num_layers,
             num_heads=cfg.num_heads,
+            dtype=cfg.dtype,
         )
         self.decoder = GaussianDecoder(
             in_dim=cfg.vol_embedding_out_dim,
@@ -368,13 +414,46 @@ class Network(nn.Module):
             zfar=zfar,
         )
 
+    def _cameras_all(self, batch):
+        """(B, V_total)-batched Camera pytree."""
+        H, W = batch["tar_rgb"].shape[2:4]
+
+        def one(c2w, fovx, fovy, near_far):
+            return Camera.from_c2w(
+                c2w, fovx, fovy, width=W, height=H,
+                znear=near_far[0], zfar=near_far[1],
+            )
+
+        return jax.vmap(one)(
+            batch["tar_c2w"], batch["fovx"], batch["fovy"], batch["near_far"]
+        )
+
+    def _over_batch(self, fn, *args):
+        """Apply a per-sample fn over the leading batch dim: vmap when
+        cfg.vmap_renders (one traced instance), else Python unroll + stack
+        (B instances, but TPU-preferred layouts — see vmap_renders doc)."""
+        if self.cfg.vmap_renders:
+            return jax.vmap(fn)(*args)
+        B = jax.tree_util.tree_leaves(args[0])[0].shape[0]
+        outs = [fn(*jax.tree.map(lambda x: x[b], args)) for b in range(B)]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+
     def _render_views(self, cams, bgs, centers, shs, opacity_raw, scaling_raw,
                       rotation_raw, valid, screen_offset=None, screen_abs=None):
-        """vmap the rasterizer over one sample's V views."""
+        """Render one sample's V views (unrolled or under vmap-over-B)."""
         cfg = self.cfg
         opacity = jax.nn.sigmoid(opacity_raw.reshape(-1))
         opacity = jnp.where(valid, opacity, 0.0)
         scales = jnp.exp(scaling_raw)
+
+        # 2DGS surfel path (tpu.renderer=2dgs; reference swaps the renderer
+        # import, lightning/network.py:9-10).  The gradient-selection pass
+        # (screen args present) stays on the 3DGS rasterizer, whose backward
+        # provides the AbsGS screen-gradient channels (means2D.grad[:,2:4]).
+        if cfg.renderer == "2dgs" and screen_offset is None and screen_abs is None:
+            return self._render_views_2dgs(
+                cams, bgs, centers, shs, opacity, scales, rotation_raw
+            )
 
         def one(cam, bg):
             return rasterize(
@@ -392,6 +471,7 @@ class Network(nn.Module):
                 chunk=cfg.raster_chunk,
                 screen_offset=screen_offset,
                 screen_abs=screen_abs,
+                backend=cfg.backend,
             )
 
         # UNROLLED over views, not vmapped: vmap batches the rasterizer's
@@ -401,6 +481,57 @@ class Network(nn.Module):
         # single-view path).  Each view is rematerialized so only one
         # view's binning/slab residuals are ever live (8 coarse renders'
         # residuals at 262k Gaussians otherwise OOM a 16GB chip).
+        one = jax.checkpoint(one)
+        outs = [
+            one(jax.tree.map(lambda x: x[j], cams), bgs[j])
+            for j in range(bgs.shape[0])
+        ]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+
+    def _render_views_2dgs(self, cams, bgs, centers, shs, opacity, scales,
+                           rotation_raw):
+        """Surfel rasterization of one sample's views + the 2DGS auxiliary
+        maps (``renderer_2dgs.py:224-269``): surf_depth blend, world-space
+        rendered normal, depth->normal lift, distortion."""
+        cfg = self.cfg
+
+        def one(cam, bg):
+            out = rasterize_surfels(
+                centers,
+                shs,
+                opacity,
+                scales[..., :2],
+                rotation_raw,
+                cam,
+                bg,
+                cfg.sh_degree,
+                tile_size=cfg.tile_size,
+                max_tiles=cfg.max_tiles,
+                max_per_tile=cfg.max_per_tile,
+                chunk=cfg.raster_chunk,
+                backend=cfg.backend,
+            )
+            alpha = out.alpha
+            exp_norm = out.depth_expected / jnp.maximum(alpha, 1e-6)
+            surf_depth = (
+                (1.0 - cfg.depth_ratio) * exp_norm
+                + cfg.depth_ratio * out.depth_median
+            )
+            wvt = cam.world_view_transform
+            rend_normal = out.normal @ wvt[:3, :3].T
+            rays = camera_rays(cam)
+            d_normal = depth_to_normal(surf_depth, rays, alpha)
+            return SurfelViewRenders(
+                image=out.image,
+                alpha=alpha,
+                depth=surf_depth,
+                radii=out.radii,
+                overflow=out.overflow,
+                dist=out.dist,
+                rend_normal=rend_normal,
+                depth_normal=d_normal,
+            )
+
         one = jax.checkpoint(one)
         outs = [
             one(jax.tree.map(lambda x: x[j], cams), bgs[j])
@@ -471,23 +602,15 @@ class Network(nn.Module):
         all_valid = jnp.ones((B, N), bool)
 
         # -- coarse renders, all V_total views
-        def render_sample(b_idx, gs, screen=None, sabs=None, views=None):
-            cams = self._cameras(batch, b_idx)
-            bgs = batch["bg_color"][b_idx]
-            if views is not None:
-                cams = jax.tree.map(lambda x: x[:views], cams)
-                bgs = bgs[:views]
+        cams_all = self._cameras_all(batch)      # (B, V_total) Camera pytree
+        bgs_all = batch["bg_color"]
+
+        def render_one(cams, bgs, gs, screen=None, sabs=None):
             c, s_, o, sc, r, v = gs
             return self._render_views(cams, bgs, c, s_, o, sc, r, v, screen, sabs)
 
-        coarse_out = []
-        for b in range(B):
-            gs = (
-                centers[b], shs_c[b], opacity_c[b], scaling_c[b],
-                rotation_c[b], all_valid[b],
-            )
-            coarse_out.append(render_sample(b, gs))
-        coarse = jax.tree.map(lambda *xs: jnp.stack(xs), *coarse_out)
+        gs_all = (centers, shs_c, opacity_c, scaling_c, rotation_c, all_valid)
+        coarse = self._over_batch(render_one, cams_all, bgs_all, gs_all)
 
         outputs = {
             "image": _cat_views(coarse.image),
@@ -495,6 +618,12 @@ class Network(nn.Module):
             "acc_map": _cat_views(coarse.alpha),
             "overflow": coarse.overflow,
         }
+        if cfg.renderer == "2dgs":
+            # extra 2DGS maps activate the distortion/normal regularizers
+            # (loss.py:142-152 <- reference lightning/loss.py:50-61)
+            outputs["rend_dist"] = _cat_views(coarse.dist)
+            outputs["rend_normal"] = _cat_views(coarse.rend_normal)
+            outputs["depth_normal"] = _cat_views(coarse.depth_normal)
         render_pkg = [
             (centers, shs_c, opacity_c, scaling_c, rotation_c)
         ]
@@ -508,26 +637,24 @@ class Network(nn.Module):
         opacity_ok = opacity_act > 0.005                          # (B, N)
 
         # -- gradient-guided selection (network.py:842-896)
-        sel_scores = []
-        for b in range(B):
-            gt = batch["tar_rgb"][b, :V]
+        cams_v = jax.tree.map(lambda x: x[:, :V], cams_all)
+        bgs_v = bgs_all[:, :V]
+        gt_all = batch["tar_rgb"][:, :V]
 
-            def sel_loss(screen, sabs, b=b, gt=gt):
-                gs = (
-                    jax.lax.stop_gradient(centers[b]),
-                    jax.lax.stop_gradient(shs_c[b]),
-                    jax.lax.stop_gradient(opacity_c[b]),
-                    jax.lax.stop_gradient(scaling_c[b]),
-                    jax.lax.stop_gradient(rotation_c[b]),
-                    all_valid[b],
-                )
-                out = render_sample(b, gs, screen, sabs, views=V)
+        def sel_one(cams, bgs, gt, gs):
+            gs_sg = tuple(jax.lax.stop_gradient(g) for g in gs[:5]) + (gs[5],)
+
+            def sel_loss(screen, sabs):
+                out = render_one(cams, bgs, gs_sg, screen, sabs)
                 return jnp.mean((out.image - gt) ** 2)
 
             zeros = jnp.zeros((N, 2), jnp.float32)
             _, g_abs = jax.grad(sel_loss, argnums=(0, 1))(zeros, zeros)
-            sel_scores.append(jnp.linalg.norm(g_abs, axis=-1))
-        sel_score = jax.lax.stop_gradient(jnp.stack(sel_scores))  # (B, N)
+            return jnp.linalg.norm(g_abs, axis=-1)
+
+        sel_score = jax.lax.stop_gradient(
+            self._over_batch(sel_one, cams_v, bgs_v, gt_all, gs_all)
+        )  # (B, N)
 
         # -- static opacity pool: top mask_pool by opacity (stands in for
         #    the boolean opacity mask, exact when pool >= true mask count)
@@ -542,14 +669,12 @@ class Network(nn.Module):
         pool_score = jnp.where(pool_valid, take1(sel_score), -1.0)
 
         # -- per-view point features + fine head (network.py:734-754, 898-906)
-        point_feats = []
-        for b in range(B):
-            pf = self._point_feats(
-                batch, b, V, pool_centers[b],
-                coarse.image[b, :V], coarse.alpha[b, :V], coarse.depth[b, :V],
-            )
-            point_feats.append(pf)
-        point_feats = jnp.stack(point_feats)          # (B, M, V, 8)
+        point_feats = self._over_batch(
+            self._point_feats,
+            batch["tar_w2c"][:, :V], batch["tar_ixt"][:, :V],
+            batch["tar_rgb"][:, :V], pool_centers,
+            coarse.image[:, :V], coarse.alpha[:, :V], coarse.depth[:, :V],
+        )                                             # (B, M, V, 8)
 
         pool_vol_feat = take2(volume_feat)            # (B, M, 80)
         fine_feat, sh_res = self.decoder.fine(pool_vol_feat, point_feats)
@@ -615,18 +740,15 @@ class Network(nn.Module):
         fine_rot = jnp.concatenate(rot_u, axis=1)
         fine_ok = jnp.concatenate(ok_u, axis=1)
 
-        fine_out = []
-        for b in range(B):
-            gs = (
-                fine_centers[b],
-                fine_sh[b].reshape(fine_sh.shape[1], -1, 3),
-                fine_op[b],
-                fine_sc[b],
-                fine_rot[b],
-                fine_ok[b],
-            )
-            fine_out.append(render_sample(b, gs))
-        fine = jax.tree.map(lambda *xs: jnp.stack(xs), *fine_out)
+        gs_fine = (
+            fine_centers,
+            fine_sh.reshape(B, fine_sh.shape[1], -1, 3),
+            fine_op,
+            fine_sc,
+            fine_rot,
+            fine_ok,
+        )
+        fine = self._over_batch(render_one, cams_all, bgs_all, gs_fine)
 
         outputs.update(
             {
@@ -641,17 +763,15 @@ class Network(nn.Module):
         outputs["render_pkg"] = render_pkg
         return outputs
 
-    def _point_feats(self, batch, b, V, points, imgs, accs, depths):
+    def _point_feats(self, w2cs, ixts, src, points, imgs, accs, depths):
         """8-channel per-view point features (network.py:734-754):
-        [src RGB(3), render RGB(3), acc(1), |render_depth - point_z|(1)]."""
-        w2cs = batch["tar_w2c"][b, :V]
-        ixts = batch["tar_ixt"][b, :V]
+        [src RGB(3), render RGB(3), acc(1), |render_depth - point_z|(1)].
+        Per-sample: w2cs/ixts/src over this sample's V source views."""
         H, W = imgs.shape[1:3]
         xy, z = project_points(points, w2cs, ixts)     # (V, M, 2), (V, M, 1)
         img_wh = jnp.asarray([W, H], jnp.float32)
         xy_norm = (xy + 0.5) / img_wh * 2.0 - 1.0
 
-        src = batch["tar_rgb"][b, :V]                  # (V, H, W, 3)
         stacked = jnp.concatenate(
             [src, imgs, accs[..., None], depths[..., None]], axis=-1
         )                                              # (V, H, W, 8)

@@ -14,6 +14,8 @@ embeds the finetuned ViT) onto these parameters.
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -27,21 +29,24 @@ class ViTBlock(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     eps: float = 1e-6
+    dtype: Any = jnp.float32  # compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        h = nn.LayerNorm(epsilon=self.eps, name="norm1")(x)
+        h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="norm1")(x)
         h = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads,
             qkv_features=self.dim,
             deterministic=deterministic,
+            dtype=self.dtype,
+            force_fp32_for_softmax=True,  # bf16-mixed fp32 island
             name="attn",
         )(h, h)
         x = x + h
-        h = nn.LayerNorm(epsilon=self.eps, name="norm2")(x)
-        h = nn.Dense(int(self.dim * self.mlp_ratio), name="mlp_fc1")(h)
+        h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="norm2")(x)
+        h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(h)
         h = nn.gelu(h)
-        h = nn.Dense(self.dim, name="mlp_fc2")(h)
+        h = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(h)
         return x + h
 
 
@@ -57,6 +62,7 @@ class VisionTransformer(nn.Module):
     eps: float = 1e-6
     remat: bool = True   # rematerialize blocks (512² x 4 views of saved
                          # attention activations OOM a 16GB chip otherwise)
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, images, deterministic: bool = True):
@@ -69,6 +75,7 @@ class VisionTransformer(nn.Module):
             (self.patch_size, self.patch_size),
             strides=(self.patch_size, self.patch_size),
             padding="VALID",
+            dtype=self.dtype,
             name="patch_embed",
         )(images)
         x = x.reshape(B, gh * gw, self.dim)
@@ -89,17 +96,19 @@ class VisionTransformer(nn.Module):
                 method="bicubic",
             ).reshape(1, gh * gw, self.dim)
 
-        x = x + grid_pos
-        cls_tok = jnp.broadcast_to(cls + cls_pos, (B, 1, self.dim))
+        x = x + grid_pos.astype(x.dtype)
+        cls_tok = jnp.broadcast_to(cls + cls_pos, (B, 1, self.dim)).astype(x.dtype)
         x = jnp.concatenate([cls_tok, x], axis=1)
 
         block_cls = nn.remat(ViTBlock) if self.remat else ViTBlock
         for i in range(self.depth):
             x = block_cls(
                 self.dim, self.num_heads, self.mlp_ratio, self.eps,
+                dtype=self.dtype,
                 name=f"block{i}",
             )(x, deterministic)
-        return nn.LayerNorm(epsilon=self.eps, name="norm")(x)
+        # final norm in f32: the token features feed the (f32) volume lift
+        return nn.LayerNorm(epsilon=self.eps, name="norm")(x.astype(jnp.float32))
 
 
 class DinoEncoder(nn.Module):
@@ -110,6 +119,7 @@ class DinoEncoder(nn.Module):
     """
 
     variant: str = "vit_base_patch16_224.dino"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, images, deterministic: bool = True):
@@ -124,9 +134,9 @@ class DinoEncoder(nn.Module):
             raise NotImplementedError(f"unknown ViT variant {self.variant!r}")
         mean = jnp.asarray(DINO_MEAN)
         std = jnp.asarray(DINO_STD)
-        x = (images - mean) / std
+        x = ((images - mean) / std).astype(self.dtype)
         tokens = VisionTransformer(
-            dim=dim, depth=depth, num_heads=heads, name="vit"
+            dim=dim, depth=depth, num_heads=heads, dtype=self.dtype, name="vit"
         )(x, deterministic)
         return tokens[:, 1:]
 

@@ -20,7 +20,7 @@ Architectural parity with the reference ``point_decoder/autoencoder.py``
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
@@ -69,13 +69,14 @@ class PointMLP(nn.Module):
     hidden: int
     out: int
     dropout: float = 0.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        x = nn.Dense(self.hidden)(x)
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        x = nn.Dense(self.out)(x)
+        x = nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         return x
 
@@ -98,6 +99,7 @@ class WindowAttention(nn.Module):
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     order_index: int = 0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, ps: PointSet, deterministic: bool = True) -> jnp.ndarray:
@@ -112,7 +114,9 @@ class WindowAttention(nn.Module):
         order = ps.orders[self.order_index]      # (B, N)
         inverse = ps.inverses[self.order_index]  # (B, N)
 
-        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, name="qkv")(ps.feat)
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(
+            ps.feat.astype(self.dtype)
+        )
         qkv = jnp.take_along_axis(qkv, order[..., None], axis=1)
         kmask = jnp.take_along_axis(ps.mask, order, axis=1)  # (B, N)
 
@@ -132,7 +136,7 @@ class WindowAttention(nn.Module):
         out = out.transpose(0, 1, 3, 2, 4).reshape(B, N, C)
         out = jnp.take_along_axis(out, inverse[..., None], axis=1)
 
-        out = nn.Dense(C, name="proj")(out)
+        out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         return out
 
@@ -146,6 +150,7 @@ class NeighborConvCPE(nn.Module):
     """
 
     channels: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, ps: PointSet) -> jnp.ndarray:
@@ -156,14 +161,14 @@ class NeighborConvCPE(nn.Module):
         gathered = jnp.take_along_axis(
             ps.feat[:, :, :], safe.reshape(safe.shape[0], -1)[..., None], axis=1
         ).reshape(*nbr.shape, C)
-        gathered = jnp.where(hit[..., None], gathered, 0.0)
+        gathered = jnp.where(hit[..., None], gathered, 0.0).astype(self.dtype)
 
         w = self.param(
             "kernel", nn.initializers.lecun_normal(), (27, C, C)
         )
         b = self.param("bias", nn.initializers.zeros, (C,))
-        y = jnp.einsum("bnoc,ocd->bnd", gathered, w) + b
-        y = nn.Dense(C, name="linear")(y)
+        y = jnp.einsum("bnoc,ocd->bnd", gathered, w.astype(self.dtype)) + b
+        y = nn.Dense(C, dtype=self.dtype, name="linear")(y)
         return masked_layer_norm(y)
 
 
@@ -182,11 +187,14 @@ class Block(nn.Module):
     drop_path: float = 0.0
     pre_norm: bool = True
     order_index: int = 0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, ps: PointSet, deterministic: bool = True) -> PointSet:
         feat = ps.feat
-        feat = feat + NeighborConvCPE(self.channels, name="cpe")(ps.replace(feat=feat))
+        feat = feat + NeighborConvCPE(self.channels, dtype=self.dtype, name="cpe")(
+            ps.replace(feat=feat)
+        )
 
         dp = DropPath(self.drop_path, name="drop_path")
         shortcut = feat
@@ -200,6 +208,7 @@ class Block(nn.Module):
             self.attn_drop,
             self.proj_drop,
             self.order_index,
+            dtype=self.dtype,
             name="attn",
         )(ps.replace(feat=x), deterministic=deterministic)
         feat = shortcut + dp(x, deterministic)
@@ -212,6 +221,7 @@ class Block(nn.Module):
             int(self.channels * self.mlp_ratio),
             self.channels,
             self.proj_drop,
+            dtype=self.dtype,
             name="mlp",
         )(x, deterministic=deterministic)
         feat = shortcut + dp(x, deterministic)
@@ -249,16 +259,18 @@ class UpscaleModule(nn.Module):
     enable_absolute_pe: bool = False
     is_first: bool = True
     carry_attribute: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, ps: PointSet, deterministic: bool = True) -> PointSet:
         S = self.upscale_factor
         B, N, C = ps.feat.shape
-        feat = masked_layer_norm(ps.feat)  # in_norm
+        feat = masked_layer_norm(ps.feat).astype(self.dtype)  # in_norm
 
-        delta_x = nn.Sequential(
-            [nn.Dense(C), nn.gelu, nn.Dense(3 * S)], name="delta_x"
-        )(feat).reshape(B, N * S, 3)
+        # coordinate deltas are geometry: computed in f32
+        dx = nn.Dense(C, dtype=self.dtype, name="delta_x_fc1")(feat)
+        delta_x = nn.Dense(3 * S, name="delta_x_fc2")(nn.gelu(dx))
+        delta_x = delta_x.astype(jnp.float32).reshape(B, N * S, 3)
         delta_x = 0.5 * ps.grid_size * jnp.tanh(delta_x)
 
         skip_x = jnp.repeat(ps.coord, S, axis=1)
@@ -273,20 +285,16 @@ class UpscaleModule(nn.Module):
         else:
             df_in = jnp.concatenate([delta_x, skip_f], axis=-1)
 
-        delta_f = nn.Sequential(
-            [
-                LayerNormNoAffine(),
-                nn.Dense(C),
-                nn.gelu,
-                nn.Dense(self.out_channels),
-            ],
-            name="delta_f",
-        )(df_in)
-        skip = nn.Dense(self.out_channels, name="skip")(skip_f)
+        df = masked_layer_norm(df_in).astype(self.dtype)
+        df = nn.Dense(C, dtype=self.dtype, name="delta_f_fc1")(df)
+        delta_f = nn.Dense(
+            self.out_channels, dtype=self.dtype, name="delta_f_fc2"
+        )(nn.gelu(df))
+        skip = nn.Dense(self.out_channels, dtype=self.dtype, name="skip")(skip_f)
         out_f = skip + DropPath(self.drop_path, name="drop_path")(
             delta_f, deterministic
         )
-        out_f = masked_layer_norm(out_f)  # out_norm
+        out_f = masked_layer_norm(out_f).astype(jnp.float32)  # out_norm (f32 out)
 
         new_mask = jnp.repeat(ps.mask, S, axis=1)
         attribute = ps.attribute
@@ -328,9 +336,8 @@ class MaskModule(nn.Module):
                 "(top-p has data-dependent sizes; see SURVEY.md §7.3.2)"
             )
         B, N, _ = ps.feat.shape
-        raw = nn.Sequential(
-            [nn.Dense(self.dim), nn.gelu, nn.Dense(1)], name="net"
-        )(ps.feat)[..., 0]
+        raw = nn.Dense(self.dim, name="net_fc1")(ps.feat)
+        raw = nn.Dense(1, name="net_fc2")(nn.gelu(raw))[..., 0]
         prob = jax.nn.sigmoid(raw)
         feat = straight_through(ps.feat, prob)
         ps = ps.replace(feat=feat, prob=prob)
@@ -360,9 +367,8 @@ class MaskResModule(nn.Module):
         if self.mask_sampling_type != "topk":
             raise NotImplementedError("topk only (static shapes)")
         B, N, _ = ps.feat.shape
-        raw = nn.Sequential(
-            [nn.Dense(self.dim), nn.gelu, nn.Dense(1)], name="net"
-        )(ps.feat)[..., 0]
+        raw = nn.Dense(self.dim, name="net_fc1")(ps.feat)
+        raw = nn.Dense(1, name="net_fc2")(nn.gelu(raw))[..., 0]
         prob = masked_softmax(raw / self.temperature, ps.mask, axis=1)
 
         k = int(-(-N * self.non_leaf_ratio // 1))
@@ -389,10 +395,8 @@ class GaussianModule(nn.Module):
 
     @nn.compact
     def __call__(self, feat: jnp.ndarray) -> jnp.ndarray:
-        return nn.Sequential(
-            [nn.Dense(self.dim), nn.gelu, nn.Dense(self.num_attrs)],
-            name="feat2attr",
-        )(feat)
+        x = nn.Dense(self.dim, name="feat2attr_fc1")(feat)
+        return nn.Dense(self.num_attrs, name="feat2attr_fc2")(nn.gelu(x))
 
 
 def split_attributes(attr: jnp.ndarray, sh_degree: int):

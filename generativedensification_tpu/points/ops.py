@@ -34,9 +34,10 @@ def masked_layer_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     (The reference decoder's ``ln_layer`` is
     ``nn.LayerNorm(elementwise_affine=False)``, ``network.py:430-433``.)
     """
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + eps)
+    x32 = x.astype(jnp.float32)  # fp32 stats island (bf16-mixed policy)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    return ((x32 - mu) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
 def masked_softmax(logits: jnp.ndarray, mask: jnp.ndarray, axis: int = 1) -> jnp.ndarray:

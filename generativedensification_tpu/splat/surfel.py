@@ -191,9 +191,9 @@ def rasterize_surfels(
     H, W = camera.height, camera.width
     N = means3d.shape[0]
     max_per_tile = min(max_per_tile, N * max_tiles)
-    if backend == "auto":
-        on_tpu = jax.default_backend() == "tpu"
-        backend = "pallas" if (on_tpu and tile_size == 32) else "xla"
+    from .rasterizer import _resolve_backend
+
+    backend = _resolve_backend(backend, tile_size)
 
     M, n_view, xy, depth, color, radius, valid = _surfel_setup(
         means3d, scales2d, rotations, opacities, shs, camera, sh_degree
@@ -438,7 +438,9 @@ def depth_to_normal(depth: jnp.ndarray, rays: jnp.ndarray, alpha: jnp.ndarray):
     dx = pts[2:, 1:-1] - pts[:-2, 1:-1]
     dy = pts[1:-1, 2:] - pts[1:-1, :-2]
     n = jnp.cross(dx, dy)
-    n = n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-8)
+    # eps-inside-sqrt normalize: linalg.norm has a NaN gradient at the
+    # all-zero normals of empty/background pixels
+    n = n * jax.lax.rsqrt(jnp.sum(n * n, axis=-1, keepdims=True) + 1e-12)
     out = jnp.zeros_like(pts)
     out = out.at[1:-1, 1:-1].set(n)
     return out * (alpha[..., None] > 0.05)

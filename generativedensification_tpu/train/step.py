@@ -43,12 +43,28 @@ def make_train_step(
                 rngs={"dropout": drop_rng, "shuffle": shuf_rng},
             )
             loss, stats = losses(batch, out, state.step)
+            # surface the binning slot-cap overflow diagnostic: a non-zero
+            # value means max_tiles clipped tile coverage and gradients are
+            # silently wrong — must stay 0 in healthy training (PERF.md)
+            stats = dict(stats)
+            stats["overflow"] = jnp.sum(out["overflow"]).astype(jnp.float32)
             return loss, stats
 
         (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        if not with_fine:
+            # Coarse-only phase (step <= start_fine): the fine-stage params
+            # get zero grads, and torch AdamW under Lightning
+            # DDP(find_unused_parameters=True) skips them entirely — optax
+            # adamw would still weight-decay them.  Zero the update for any
+            # leaf whose gradient is identically zero (reference parity).
+            updates = jax.tree.map(
+                lambda u, g: jnp.where(jnp.any(g != 0), u, jnp.zeros_like(u)),
+                updates,
+                grads,
+            )
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(
             step=state.step + 1, params=params, opt_state=opt_state, rng=rng

@@ -9,6 +9,7 @@ TensorBoard scalars.
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import sys
 import time
@@ -51,7 +52,6 @@ def main(cfg):
     losses = Losses()
 
     sample = to_device_batch(next(iter(train_loader)))
-    with_fine = cfg.train.start_fine < 0
     from ..utils.platform import jit_init
 
     params = jit_init(
@@ -78,12 +78,31 @@ def main(cfg):
         state = restore_checkpoint(cfg.model.ckpt_path, state)
         print(f"[train] resumed from {cfg.model.ckpt_path} @ step {int(state.step)}")
 
-    train_step = make_train_step(net, tx, losses, with_fine=with_fine)
-    eval_step = make_eval_step(net, losses, with_fine=True)
-
     from ..utils.debugging import maybe_profile, nan_guard
 
-    train_step = nan_guard(train_step, enabled=bool(cfg.tpu.nan_check))
+    # Per-(with_fine, n_source_views) jitted train steps, built lazily:
+    #  * start_fine >= 0 switches the fine stage on at step > start_fine
+    #    per step (reference lightning/system.py:26), which in JAX means
+    #    two traced step variants;
+    #  * use_rand_views samples 2-4 source views per step
+    #    (reference network.py:777-779) — one traced variant per count.
+    start_fine = cfg.train.start_fine
+    use_rand_views = bool(cfg.train.get("use_rand_views", False))
+    rand_rng = np.random.default_rng(cfg.tpu.seed + 17)
+    _steps: dict = {}
+
+    def get_train_step(fine: bool, n_views: int):
+        key = (fine, n_views)
+        if key not in _steps:
+            net_v = (
+                net if n_views == net_cfg.n_views
+                else Network(dataclasses.replace(net_cfg, n_views=n_views))
+            )
+            fn = make_train_step(net_v, tx, losses, with_fine=fine)
+            _steps[key] = nan_guard(fn, enabled=bool(cfg.tpu.nan_check))
+        return _steps[key]
+
+    eval_step = make_eval_step(net, losses, with_fine=True)
     profile_dir = cfg.tpu.profile_dir
 
     # TB or wandb (reference train_lightning.py:52-56 logger switch)
@@ -134,6 +153,12 @@ def main(cfg):
     for epoch in range(cfg.train.n_epoch):
         for batch_np in train_loader:
             batch = shard_batch(to_device_batch(batch_np), mesh)
+            fine_now = start_fine < 0 or step > start_fine
+            v_now = (
+                int(rand_rng.integers(2, 5)) if use_rand_views
+                else net_cfg.n_views
+            )
+            train_step = get_train_step(fine_now, v_now)
             with maybe_profile(profile_dir if step == 20 else None):
                 state, stats = train_step(state, batch)
             step += 1

@@ -1,0 +1,124 @@
+"""torch->flax converter round-trip and LPIPS-npz pipeline tests.
+
+The converter is the bridge to the reference's released checkpoints
+(``epoch=49.ckpt``); since those are not fetchable here, the round-trip is
+validated against a synthetic state_dict carrying the reference's exact
+key names and shapes (``utils/torch_convert.synthesize_reference_state_dict``,
+schema derived from ``/root/reference/lightning/network.py`` and
+``point_decoder/autoencoder.py``).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from generativedensification_tpu.models.network import Network, NetworkConfig
+from generativedensification_tpu.utils.torch_convert import (
+    convert_state_dict,
+    synthesize_reference_state_dict,
+)
+
+TINY = dict(
+    n_views=2, encoder_backbone="tiny_test", n_groups=(4,), n_offset_groups=8,
+    num_layers=2, num_heads=4, view_embed_dim=8, embedding_dim=32,
+    vol_feat_reso=4, vol_embedding_reso=8, vol_embedding_out_dim=16,
+    k_num=96, dec_depths=(1, 1), dec_channels=(32, 48), dec_num_head=(4, 6),
+    dec_patch_size=(48, 48), drop_path=0.0, non_leaf_ratio=(0.75,),
+    upscale_factor=(2, 4), mask_pool=192, tile_size=16, max_tiles=4,
+    max_per_tile=256, raster_chunk=16, vmap_renders=True,
+)
+
+
+def _tiny_net_and_batch():
+    from generativedensification_tpu.data.synthetic import make_probe_batch
+
+    cfg = NetworkConfig(**TINY)
+    net = Network(cfg)
+    batch = make_probe_batch(B=1, V_total=4, H=64, W=64, n_views=2)
+    return net, batch
+
+
+class TestConverterRoundTrip:
+    def test_every_leaf_filled_and_forward_runs(self):
+        net, batch = _tiny_net_and_batch()
+        params = net.init({"params": jax.random.PRNGKey(0)}, batch,
+                          with_fine=True)
+        sd = synthesize_reference_state_dict(net.cfg, seed=3)
+        converted = convert_state_dict(sd, params)
+
+        # every parameter leaf must change (random synth values != init),
+        # except zero-init leaves whose synth values are also ~0 by chance —
+        # compare trees leaf-by-leaf and require > 99% changed
+        flat_a = jax.tree.leaves(params)
+        flat_b = jax.tree.leaves(converted)
+        changed = sum(
+            float(np.any(np.asarray(a) != np.asarray(b)))
+            for a, b in zip(flat_a, flat_b)
+        )
+        assert changed / len(flat_a) > 0.99, (
+            f"only {changed}/{len(flat_a)} leaves filled by the converter"
+        )
+
+        out = jax.jit(
+            lambda p, b: net.apply(p, b, with_fine=True, deterministic=True)
+        )(converted, batch)
+        assert bool(jnp.isfinite(out["image_fine"]).all())
+
+    def test_all_source_keys_consumed(self, capsys):
+        net, batch = _tiny_net_and_batch()
+        params = net.init({"params": jax.random.PRNGKey(0)}, batch,
+                          with_fine=True)
+        sd = synthesize_reference_state_dict(net.cfg)
+        convert_state_dict(sd, params)
+        captured = capsys.readouterr().out
+        assert "not consumed" not in captured, captured
+
+    def test_linear_layout_and_values(self):
+        """A known torch Linear lands transposed with exact values."""
+        net, batch = _tiny_net_and_batch()
+        params = net.init({"params": jax.random.PRNGKey(0)}, batch,
+                          with_fine=True)
+        sd = synthesize_reference_state_dict(net.cfg, seed=5)
+        converted = convert_state_dict(sd, params)
+        w = sd["net.decoder.mlp_coarse.0.weight"]
+        got = converted["params"]["decoder"]["coarse_fc0"]["kernel"]
+        np.testing.assert_allclose(np.asarray(got), w.T, rtol=0, atol=0)
+        cnn = sd["net.vol_decoder.layers.0.cnn.weight"]
+        got = converted["params"]["vol_decoder"]["layer0"]["cnn"]["kernel"]
+        np.testing.assert_allclose(
+            np.asarray(got), np.transpose(cnn, (2, 3, 4, 1, 0)), atol=0
+        )
+
+
+class TestLpipsPipeline:
+    def test_random_npz_roundtrip(self, tmp_path):
+        from generativedensification_tpu.eval.lpips import load_lpips
+        from generativedensification_tpu.tools.convert_lpips import (
+            random_weights,
+        )
+
+        for net_name in ("vgg", "alex"):
+            path = tmp_path / f"lpips_{net_name}.npz"
+            np.savez(path, **random_weights(net_name))
+            fn = load_lpips(str(path), net=net_name)
+            rng = np.random.default_rng(0)
+            a = jnp.asarray(rng.uniform(-1, 1, (64, 64, 3)), jnp.float32)
+            b = jnp.clip(a + 0.2, -1, 1)
+            d_ab = float(fn(a, b))
+            d_aa = float(fn(a, a))
+            assert d_aa == pytest.approx(0.0, abs=1e-6)
+            assert d_ab > d_aa
+            assert np.isfinite(d_ab)
+
+    def test_vgg_taps_count(self):
+        """All 5 calibration heads must receive a feature map (r1 bug:
+        torchvision layer indices used as conv indices starved tap 5)."""
+        from generativedensification_tpu.eval.lpips import (
+            _VGG_CFG,
+            _VGG_TAPS,
+        )
+
+        n_convs = sum(1 for v in _VGG_CFG if v != "M")
+        assert len(_VGG_TAPS) == 5
+        assert all(t < n_convs for t in _VGG_TAPS)
