@@ -37,21 +37,11 @@ def load_params(cfg, net, sample_batch):
         # random init (useful for pipeline smoke runs)
         return jit_init(net, sample_batch, with_fine=True)
     if os.path.isdir(ckpt):
-        from ..train.state import restore_checkpoint, TrainState
-        import optax
+        # template-free params-only restore: works on full training
+        # checkpoints regardless of the optimizer state they carry
+        from ..train.state import restore_params
 
-        template_params = jax.eval_shape(
-            lambda: net.init(
-                {"params": jax.random.PRNGKey(0)}, sample_batch, with_fine=True
-            )
-        )
-        # restore params-only through a minimal state template
-        zeros = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), template_params)
-        state = TrainState(
-            step=jnp.zeros((), jnp.int32), params=zeros,
-            opt_state=optax.identity().init(zeros), rng=jax.random.PRNGKey(0),
-        )
-        return restore_checkpoint(ckpt, state).params
+        return jax.tree.map(jnp.asarray, restore_params(ckpt))
     if ckpt.endswith((".ckpt", ".pt", ".pth")):
         from ..utils.torch_convert import load_torch_network_params
 
@@ -83,12 +73,20 @@ def main(cfg: ConfigNode) -> dict:
         lpips_vgg = lpips_fn("vgg")
         lpips_alex = lpips_fn("alex")
 
+    ft_cfg = icfg.get("finetuning", None)
+    with_ft = bool(ft_cfg and ft_cfg.get("with_ft", False))
+
     per_scene = {}
     n_scenes = min(len(dataset), int(ds_cfg.get("n_scenes", len(dataset))))
     for i in range(n_scenes):
         sample_np = collate([dataset[i]])
         batch = to_device_batch(sample_np)
         out = fwd(params, batch)
+        if with_ft:
+            out = dict(out)
+            out["image_fine"], out["render_pkg"] = finetune_scene(
+                out, batch, net_cfg, ft_cfg, n_views
+            )
 
         B, V, H, W, _ = batch["tar_rgb"].shape
         gt = batch["tar_rgb"].transpose(0, 2, 1, 3, 4).reshape(1, H, V * W, 3)
@@ -162,6 +160,77 @@ def main(cfg: ConfigNode) -> dict:
             json.dump(result, f, indent=2)
     print(json.dumps(means, indent=2))
     return result
+
+
+def finetune_scene(out, batch, net_cfg, ft_cfg, n_views):
+    """Per-scene Gaussian finetuning against the source views
+    (``infer.finetuning`` group; reference machinery ``renderer.py:128-207``).
+
+    Takes the feed-forward fine Gaussians, runs ``steps`` Adam iterations
+    of render-MSE with the reference's per-attribute learning rates, then
+    re-renders every view.  Returns (image_fine (1, H, V*W, 3), render_pkg
+    with the refined last entry).
+    """
+    from ..core.camera import Camera
+    from .finetune import finetune, params_from_gaussians
+
+    centers, sh, op_raw, sc_raw, rot, ok = out["render_pkg"][-1]
+    Nf = centers.shape[1]
+    # dead slots: pin raw opacity far below the sigmoid knee so they stay
+    # invisible through finetuning
+    op_masked = jnp.where(ok[0][:, None], op_raw[0], -15.0)
+    p = params_from_gaussians(
+        centers[0], sh[0].reshape(Nf, -1, 3), op_masked, sc_raw[0], rot[0]
+    )
+
+    B, V_total, H, W, _ = batch["tar_rgb"].shape
+    cams = Camera.from_c2w(
+        batch["tar_c2w"][0], batch["fovx"][0], batch["fovy"][0],
+        width=W, height=H,
+        znear=batch["near_far"][0, 0], zfar=batch["near_far"][0, 1],
+    )
+    src_cams = jax.tree.map(lambda x: x[:n_views], cams)
+    raster_kw = dict(
+        tile_size=net_cfg.tile_size, max_tiles=net_cfg.max_tiles,
+        max_per_tile=net_cfg.max_per_tile, chunk=net_cfg.raster_chunk,
+    )
+    p, _ = finetune(
+        p, src_cams, batch["tar_rgb"][0, :n_views],
+        batch["bg_color"][0, :n_views],
+        sh_degree=net_cfg.sh_degree,
+        steps=int(ft_cfg.get("steps", 500)),
+        position_lr=float(ft_cfg.get("position_lr", 1.6e-5)),
+        feature_lr=float(ft_cfg.get("feature_lr", 2.5e-3)),
+        opacity_lr=float(ft_cfg.get("opacity_lr", 0.05)),
+        scaling_lr=float(ft_cfg.get("scaling_lr", 5e-3)),
+        rotation_lr=float(ft_cfg.get("rotation_lr", 1e-3)),
+        raster_kw=raster_kw,
+    )
+
+    from ..splat.rasterizer import rasterize
+
+    shs = jnp.concatenate([p["sh_dc"], p["sh_rest"]], axis=1)
+
+    @jax.jit
+    def render_one(cam, bg):
+        return rasterize(
+            p["xyz"], shs, jax.nn.sigmoid(p["opacity"][:, 0]),
+            jnp.exp(p["scaling"]), p["rotation"], cam, bg,
+            net_cfg.sh_degree, **raster_kw,
+        ).image
+
+    imgs = jnp.stack([
+        render_one(jax.tree.map(lambda x: x[j], cams), batch["bg_color"][0, j])
+        for j in range(V_total)
+    ])  # (V, H, W, 3)
+    image_fine = imgs.transpose(1, 0, 2, 3).reshape(1, H, V_total * W, 3)
+
+    refined_pkg = list(out["render_pkg"])
+    refined_pkg[-1] = (
+        p["xyz"][None], shs.reshape(1, Nf, -1), p["opacity"][None, :, 0:1],
+        p["scaling"][None], p["rotation"][None], ok,
+    )
+    return image_fine, refined_pkg
 
 
 def _save_comparison(folder, scene, gt, coarse, fine):

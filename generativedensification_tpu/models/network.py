@@ -109,6 +109,8 @@ class NetworkConfig:
     non_leaf_ratio: tuple = (0.8,)
     mask_sampling_type: str = "topk"
     enable_residual_attribute: bool = False
+    pdnorm_ln: bool = False
+    pdnorm_conditions: tuple = ("ScanNet", "S3DIS", "Structured3D")
     # TPU static-shape knobs (no reference counterpart)
     mask_pool: int = 49152        # static stand-in for the opacity mask
     tile_size: int = 32
@@ -135,6 +137,21 @@ class NetworkConfig:
     # traces B copies of the graph — on the virtual CPU mesh (dryrun,
     # tests, B = n_devices) vmap cuts compile time ~B-fold.
     vmap_renders: bool = False
+    # fuse the selection-gradient pass with the coarse source-view render
+    # (one jax.vjp; saves V forward rasterizations/sample/step).  Off
+    # reproduces the reference's isolated re-render closure exactly.
+    share_selection: bool = True
+    # rematerialize each view's render in the backward.  True trades one
+    # full forward recompute per render (~35ms at 262k: slab gather + fwd
+    # kernel + binning) for ~50MB of saved residuals per render — needed
+    # when many renders' residuals would OOM the chip (B>1 at 512²).
+    remat_renders: bool = True
+    # static live-pair budget as avg (gaussian, tile) pairs per gaussian
+    # (0 = off, worst-case N*max_tiles slots).  Voxel-scale primitives
+    # average well under 2 covered tiles at 512²/32px; every slot-space
+    # cost (slab gathers, kernels, grad slab) scales with this budget.
+    # Dropped pairs count into the overflow diagnostic.
+    pair_budget: float = 0.0
 
     @classmethod
     def from_config(cls, cfg: Any) -> "NetworkConfig":
@@ -180,6 +197,10 @@ class NetworkConfig:
             non_leaf_ratio=tuple(m.non_leaf_ratio),
             mask_sampling_type=m.mask_sampling_type,
             enable_residual_attribute=m.enable_residual_attribute,
+            pdnorm_ln=get(m, "pdnorm_ln", cls.pdnorm_ln),
+            pdnorm_conditions=tuple(
+                get(m, "pdnorm_conditions", cls.pdnorm_conditions) or ()
+            ),
             mask_pool=get(m, "mask_pool", cls.mask_pool),
             tile_size=get(tpu, "tile_size", cls.tile_size),
             max_tiles=get(tpu, "max_tiles", cls.max_tiles),
@@ -189,6 +210,9 @@ class NetworkConfig:
             depth_ratio=get(tpu, "depth_ratio", cls.depth_ratio),
             vmap_renders=get(tpu, "vmap_renders", cls.vmap_renders),
             backend=get(tpu, "rasterizer_backend", cls.backend),
+            share_selection=get(tpu, "share_selection", cls.share_selection),
+            remat_renders=get(tpu, "remat_renders", cls.remat_renders),
+            pair_budget=get(tpu, "pair_budget", cls.pair_budget),
         )
 
     @property
@@ -296,6 +320,7 @@ class DensifierStage(nn.Module):
                 pre_norm=cfg.pre_norm,
                 order_index=i % len(cfg.order),
                 dtype=cfg.dtype,
+                pdnorm_n=len(cfg.pdnorm_conditions) if cfg.pdnorm_ln else 0,
                 name=f"block{i}",
             )(ps, deterministic=deterministic)
 
@@ -309,6 +334,7 @@ class DensifierStage(nn.Module):
             is_first=(s == 0),
             carry_attribute=cfg.enable_residual_attribute,
             dtype=cfg.dtype,
+            pdnorm_n=len(cfg.pdnorm_conditions) if cfg.pdnorm_ln else 0,
             name="up",
         )(ps, deterministic=deterministic)
 
@@ -322,7 +348,11 @@ class DensifierStage(nn.Module):
                 out_ch, cfg.temperature, ratio, cfg.mask_sampling_type,
                 name="mask",
             )(ps)
-            if split_idx is None:
+            if split_idx is None and non_leaf_mask is not None:
+                # top_p: full-size sets with validity masks (points/ops.py)
+                non_leaf = ps.replace(mask=non_leaf_mask)
+                leaf = ps.replace(mask=ps.mask & ~non_leaf_mask)
+            elif split_idx is None:
                 non_leaf, leaf = ps, ps
             else:
                 from ..points.structure import gather_points
@@ -439,8 +469,14 @@ class Network(nn.Module):
         return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
 
     def _render_views(self, cams, bgs, centers, shs, opacity_raw, scaling_raw,
-                      rotation_raw, valid, screen_offset=None, screen_abs=None):
-        """Render one sample's V views (unrolled or under vmap-over-B)."""
+                      rotation_raw, valid, screen_offset=None, screen_abs=None,
+                      sel_gt=None):
+        """Render one sample's V views (unrolled or under vmap-over-B).
+
+        ``sel_gt`` (V, H, W, 3): fused AbsGS selection — each view's output
+        carries ``sel_abs`` computed against its ground truth from the
+        shared forward (no second rasterization).
+        """
         cfg = self.cfg
         opacity = jax.nn.sigmoid(opacity_raw.reshape(-1))
         opacity = jnp.where(valid, opacity, 0.0)
@@ -450,12 +486,18 @@ class Network(nn.Module):
         # import, lightning/network.py:9-10).  The gradient-selection pass
         # (screen args present) stays on the 3DGS rasterizer, whose backward
         # provides the AbsGS screen-gradient channels (means2D.grad[:,2:4]).
-        if cfg.renderer == "2dgs" and screen_offset is None and screen_abs is None:
+        if (cfg.renderer == "2dgs" and screen_offset is None
+                and screen_abs is None and sel_gt is None):
             return self._render_views_2dgs(
                 cams, bgs, centers, shs, opacity, scales, rotation_raw
             )
 
-        def one(cam, bg):
+        N_g = centers.shape[0]
+        max_pairs = (
+            int(N_g * cfg.pair_budget) if cfg.pair_budget > 0 else None
+        )
+
+        def one(cam, bg, gt):
             return rasterize(
                 centers,
                 shs,
@@ -472,18 +514,26 @@ class Network(nn.Module):
                 screen_offset=screen_offset,
                 screen_abs=screen_abs,
                 backend=cfg.backend,
+                sel_gt=gt,
+                max_pairs=max_pairs,
             )
 
         # UNROLLED over views, not vmapped: vmap batches the rasterizer's
         # backward data plane into giant (V·N·D, 16) gathers whose layout
         # pinning is lost (profiled 1.45s/step of {0,1} strided gathers at
         # the flagship config; unrolled views compile like the fast
-        # single-view path).  Each view is rematerialized so only one
-        # view's binning/slab residuals are ever live (8 coarse renders'
-        # residuals at 262k Gaussians otherwise OOM a 16GB chip).
-        one = jax.checkpoint(one)
+        # single-view path).  remat_renders additionally rematerializes
+        # each view so only one view's binning/slab residuals are live.
+        if cfg.remat_renders:
+            one = jax.checkpoint(
+                one,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "sel_abs"
+                ),
+            )
         outs = [
-            one(jax.tree.map(lambda x: x[j], cams), bgs[j])
+            one(jax.tree.map(lambda x: x[j], cams), bgs[j],
+                None if sel_gt is None else sel_gt[j])
             for j in range(bgs.shape[0])
         ]
         return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
@@ -532,7 +582,8 @@ class Network(nn.Module):
                 depth_normal=d_normal,
             )
 
-        one = jax.checkpoint(one)
+        if cfg.remat_renders:
+            one = jax.checkpoint(one)
         outs = [
             one(jax.tree.map(lambda x: x[j], cams), bgs[j])
             for j in range(bgs.shape[0])
@@ -610,7 +661,47 @@ class Network(nn.Module):
             return self._render_views(cams, bgs, c, s_, o, sc, r, v, screen, sabs)
 
         gs_all = (centers, shs_c, opacity_c, scaling_c, rotation_c, all_valid)
-        coarse = self._over_batch(render_one, cams_all, bgs_all, gs_all)
+
+        share_sel = with_fine and cfg.renderer == "3dgs" and cfg.share_selection
+        if share_sel:
+            # Fused coarse render + gradient-guided selection (reference
+            # network.py:842-896 runs a SECOND full render of the source
+            # views inside an isolated vjp closure; SURVEY §7.3.4): render
+            # the source views once under jax.vjp over the zero screen
+            # inputs — the primal doubles as the supervision render (still
+            # differentiable w.r.t. the attributes by the outer AD), and
+            # one backward application with the explicit MSE image
+            # cotangent yields the AbsGS selection scores.  Deletes V full
+            # forward rasterizations (+ their binning data planes) per
+            # sample per step.
+            gt_all = batch["tar_rgb"][:, :V]
+
+            def sel_render_one(cams, bgs, gt, gs):
+                c, s_, o, sc, r, valid = gs
+                cams_v = jax.tree.map(lambda x: x[:V], cams)
+                cams_rest = jax.tree.map(lambda x: x[V:], cams)
+                out_v = self._render_views(
+                    cams_v, bgs[:V], c, s_, o, sc, r, valid, sel_gt=gt
+                )
+                # per-view abs grads sum across views (disjoint pixels =
+                # exactly the reference's joint-MSE accumulation)
+                score = jnp.linalg.norm(jnp.sum(out_v.sel_abs, axis=0), axis=-1)
+                out_v = out_v.replace(sel_abs=None)
+
+                out_rest = self._render_views(
+                    cams_rest, bgs[V:], c, s_, o, sc, r, valid
+                )
+                out_full = jax.tree.map(
+                    lambda a, b: jnp.concatenate([a, b], axis=0),
+                    out_v, out_rest,
+                )
+                return out_full, score
+
+            coarse, sel_score_shared = self._over_batch(
+                sel_render_one, cams_all, bgs_all, gt_all, gs_all
+            )
+        else:
+            coarse = self._over_batch(render_one, cams_all, bgs_all, gs_all)
 
         outputs = {
             "image": _cat_views(coarse.image),
@@ -637,24 +728,31 @@ class Network(nn.Module):
         opacity_ok = opacity_act > 0.005                          # (B, N)
 
         # -- gradient-guided selection (network.py:842-896)
-        cams_v = jax.tree.map(lambda x: x[:, :V], cams_all)
-        bgs_v = bgs_all[:, :V]
-        gt_all = batch["tar_rgb"][:, :V]
+        if share_sel:
+            sel_score = sel_score_shared                        # (B, N)
+        else:
+            # Isolated re-render closure (reference semantics; also the
+            # 2DGS path, where the supervision render is the surfel
+            # rasterizer while the selection closure re-renders through
+            # the 3DGS rasterizer whose backward provides AbsGS channels)
+            cams_v = jax.tree.map(lambda x: x[:, :V], cams_all)
+            bgs_v = bgs_all[:, :V]
+            gt_all = batch["tar_rgb"][:, :V]
 
-        def sel_one(cams, bgs, gt, gs):
-            gs_sg = tuple(jax.lax.stop_gradient(g) for g in gs[:5]) + (gs[5],)
+            def sel_one(cams, bgs, gt, gs):
+                gs_sg = tuple(jax.lax.stop_gradient(g) for g in gs[:5]) + (gs[5],)
 
-            def sel_loss(screen, sabs):
-                out = render_one(cams, bgs, gs_sg, screen, sabs)
-                return jnp.mean((out.image - gt) ** 2)
+                def sel_loss(screen, sabs):
+                    out = render_one(cams, bgs, gs_sg, screen, sabs)
+                    return jnp.mean((out.image - gt) ** 2)
 
-            zeros = jnp.zeros((N, 2), jnp.float32)
-            _, g_abs = jax.grad(sel_loss, argnums=(0, 1))(zeros, zeros)
-            return jnp.linalg.norm(g_abs, axis=-1)
+                zeros = jnp.zeros((N, 2), jnp.float32)
+                _, g_abs = jax.grad(sel_loss, argnums=(0, 1))(zeros, zeros)
+                return jnp.linalg.norm(g_abs, axis=-1)
 
-        sel_score = jax.lax.stop_gradient(
-            self._over_batch(sel_one, cams_v, bgs_v, gt_all, gs_all)
-        )  # (B, N)
+            sel_score = jax.lax.stop_gradient(
+                self._over_batch(sel_one, cams_v, bgs_v, gt_all, gs_all)
+            )  # (B, N)
 
         # -- static opacity pool: top mask_pool by opacity (stands in for
         #    the boolean opacity mask, exact when pool >= true mask count)

@@ -33,6 +33,7 @@ from .ops import (
     masked_softmax,
     straight_through,
     straight_through_res,
+    top_p_mask,
     topk_split,
 )
 from .structure import PointSet, gather_points
@@ -45,6 +46,32 @@ class LayerNormNoAffine(nn.Module):
     @nn.compact
     def __call__(self, x):
         return masked_layer_norm(x)
+
+
+class PDNorm(nn.Module):
+    """Prompt-driven normalization (Pointcept PPT): per-dataset-condition
+    affine over the shared LayerNorm statistics, selected by the point
+    set's static condition index.
+
+    Parity: ``point_prompt_training/prompt_driven_normalization.py:6-44``
+    with decouple=True, adaptive=False — the only mode reachable from the
+    reference config (``pdnorm_decouple: True``, ``pdnorm_adaptive:
+    False``).  A per-condition ``nn.LayerNorm(affine=True)`` equals a
+    shared (param-free) LN followed by that condition's affine.
+    """
+
+    dim: int
+    n_conditions: int = 3
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, condition: int = 0) -> jnp.ndarray:
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.n_conditions, self.dim)
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.n_conditions, self.dim)
+        )
+        return masked_layer_norm(x) * scale[condition] + bias[condition]
 
 
 class DropPath(nn.Module):
@@ -151,6 +178,7 @@ class NeighborConvCPE(nn.Module):
 
     channels: int
     dtype: Any = jnp.float32
+    pdnorm_n: int = 0  # >0: PDNorm with that many conditions (pdnorm_ln)
 
     @nn.compact
     def __call__(self, ps: PointSet) -> jnp.ndarray:
@@ -169,6 +197,8 @@ class NeighborConvCPE(nn.Module):
         b = self.param("bias", nn.initializers.zeros, (C,))
         y = jnp.einsum("bnoc,ocd->bnd", gathered, w.astype(self.dtype)) + b
         y = nn.Dense(C, dtype=self.dtype, name="linear")(y)
+        if self.pdnorm_n:
+            return PDNorm(C, self.pdnorm_n, name="norm")(y, ps.condition)
         return masked_layer_norm(y)
 
 
@@ -188,17 +218,25 @@ class Block(nn.Module):
     pre_norm: bool = True
     order_index: int = 0
     dtype: Any = jnp.float32
+    pdnorm_n: int = 0  # >0: PDNorm with that many conditions (pdnorm_ln)
 
     @nn.compact
     def __call__(self, ps: PointSet, deterministic: bool = True) -> PointSet:
+        if self.pdnorm_n:
+            pd1 = PDNorm(self.channels, self.pdnorm_n, name="norm1")
+            pd2 = PDNorm(self.channels, self.pdnorm_n, name="norm2")
+            norm1 = lambda x: pd1(x, ps.condition)
+            norm2 = lambda x: pd2(x, ps.condition)
+        else:
+            norm1 = norm2 = masked_layer_norm
         feat = ps.feat
-        feat = feat + NeighborConvCPE(self.channels, dtype=self.dtype, name="cpe")(
-            ps.replace(feat=feat)
-        )
+        feat = feat + NeighborConvCPE(
+            self.channels, dtype=self.dtype, pdnorm_n=self.pdnorm_n, name="cpe"
+        )(ps.replace(feat=feat))
 
         dp = DropPath(self.drop_path, name="drop_path")
         shortcut = feat
-        x = masked_layer_norm(feat) if self.pre_norm else feat
+        x = norm1(feat) if self.pre_norm else feat
         x = WindowAttention(
             self.channels,
             self.num_heads,
@@ -213,10 +251,10 @@ class Block(nn.Module):
         )(ps.replace(feat=x), deterministic=deterministic)
         feat = shortcut + dp(x, deterministic)
         if not self.pre_norm:
-            feat = masked_layer_norm(feat)
+            feat = norm1(feat)
 
         shortcut = feat
-        x = masked_layer_norm(feat) if self.pre_norm else feat
+        x = norm2(feat) if self.pre_norm else feat
         x = PointMLP(
             int(self.channels * self.mlp_ratio),
             self.channels,
@@ -226,7 +264,7 @@ class Block(nn.Module):
         )(x, deterministic=deterministic)
         feat = shortcut + dp(x, deterministic)
         if not self.pre_norm:
-            feat = masked_layer_norm(feat)
+            feat = norm2(feat)
         return ps.replace(feat=feat)
 
 
@@ -260,12 +298,22 @@ class UpscaleModule(nn.Module):
     is_first: bool = True
     carry_attribute: bool = False
     dtype: Any = jnp.float32
+    pdnorm_n: int = 0  # >0: PDNorm with that many conditions (pdnorm_ln)
 
     @nn.compact
     def __call__(self, ps: PointSet, deterministic: bool = True) -> PointSet:
         S = self.upscale_factor
         B, N, C = ps.feat.shape
-        feat = masked_layer_norm(ps.feat).astype(self.dtype)  # in_norm
+        if self.pdnorm_n:
+            in_norm = lambda x: PDNorm(C, self.pdnorm_n, name="in_norm")(
+                x, ps.condition
+            )
+            out_norm = lambda x: PDNorm(
+                self.out_channels, self.pdnorm_n, name="out_norm"
+            )(x, ps.condition)
+        else:
+            in_norm = out_norm = masked_layer_norm
+        feat = in_norm(ps.feat).astype(self.dtype)  # in_norm
 
         # coordinate deltas are geometry: computed in f32
         dx = nn.Dense(C, dtype=self.dtype, name="delta_x_fc1")(feat)
@@ -294,7 +342,7 @@ class UpscaleModule(nn.Module):
         out_f = skip + DropPath(self.drop_path, name="drop_path")(
             delta_f, deterministic
         )
-        out_f = masked_layer_norm(out_f).astype(jnp.float32)  # out_norm (f32 out)
+        out_f = out_norm(out_f).astype(jnp.float32)  # out_norm (f32 out)
 
         new_mask = jnp.repeat(ps.mask, S, axis=1)
         attribute = ps.attribute
@@ -330,10 +378,10 @@ class MaskModule(nn.Module):
     def __call__(self, ps: PointSet) -> tuple[PointSet, PointSet]:
         if self.non_leaf_ratio >= 1.0:
             return ps, ps
-        if self.mask_sampling_type != "topk":
+        if self.mask_sampling_type not in ("topk", "top_p"):
             raise NotImplementedError(
-                "static-shape decoder supports mask_sampling_type='topk' "
-                "(top-p has data-dependent sizes; see SURVEY.md §7.3.2)"
+                f"mask_sampling_type={self.mask_sampling_type!r}; "
+                "supported: topk, top_p"
             )
         B, N, _ = ps.feat.shape
         raw = nn.Dense(self.dim, name="net_fc1")(ps.feat)
@@ -341,6 +389,14 @@ class MaskModule(nn.Module):
         prob = jax.nn.sigmoid(raw)
         feat = straight_through(ps.feat, prob)
         ps = ps.replace(feat=feat, prob=prob)
+
+        if self.mask_sampling_type == "top_p":
+            # nucleus sampling: both subsets keep full static size N and
+            # carry validity masks (exact reference semantics, static shapes)
+            nucleus = top_p_mask(prob, ps.mask, self.non_leaf_ratio)
+            non_leaf = ps.replace(mask=nucleus)
+            leaf = ps.replace(mask=ps.mask & ~nucleus)
+            return non_leaf, leaf
 
         k = int(-(-N * self.non_leaf_ratio // 1))  # ceil
         top_idx, rest_idx, top_ok, rest_ok = topk_split(prob, ps.mask, k)
@@ -364,12 +420,21 @@ class MaskResModule(nn.Module):
     def __call__(self, ps: PointSet):
         if self.non_leaf_ratio >= 1.0:
             return ps, None, None
-        if self.mask_sampling_type != "topk":
-            raise NotImplementedError("topk only (static shapes)")
+        if self.mask_sampling_type not in ("topk", "top_p"):
+            raise NotImplementedError(
+                f"mask_sampling_type={self.mask_sampling_type!r}; "
+                "supported: topk, top_p"
+            )
         B, N, _ = ps.feat.shape
         raw = nn.Dense(self.dim, name="net_fc1")(ps.feat)
         raw = nn.Dense(1, name="net_fc2")(nn.gelu(raw))[..., 0]
         prob = masked_softmax(raw / self.temperature, ps.mask, axis=1)
+
+        if self.mask_sampling_type == "top_p":
+            non_leaf_mask = top_p_mask(prob, ps.mask, self.non_leaf_ratio)
+            feat = straight_through_res(ps.feat, prob, non_leaf_mask)
+            ps = ps.replace(feat=feat, prob=prob)
+            return ps, None, non_leaf_mask
 
         k = int(-(-N * self.non_leaf_ratio // 1))
         top_idx, rest_idx, _, _ = topk_split(prob, ps.mask, k)

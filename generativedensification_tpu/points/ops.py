@@ -81,6 +81,27 @@ def topk_split(score: jnp.ndarray, mask: jnp.ndarray, k: int):
     return top_idx.astype(jnp.int32), rest_idx, take(top_idx), take(rest_idx)
 
 
+def top_p_mask(prob: jnp.ndarray, mask: jnp.ndarray, ratio: float) -> jnp.ndarray:
+    """Nucleus mask: per-sample descending-sorted *inclusive* cumsum of
+    probs <= ratio (the reference ``top_p``, ``autoencoder.py:548-612``,
+    whose sparse-matmul group-cumsum is just a segment cumsum).
+
+    Static-shape port: instead of materializing variable-size subsets, the
+    caller keeps both point sets at full size N and carries this mask /
+    its complement as validity — exact semantics, no dynamic shapes.
+    """
+    B, N = prob.shape
+    neg = jnp.where(mask, prob, NEG_INF)
+    order = jnp.argsort(-neg, axis=1)
+    p_sorted = jnp.take_along_axis(jnp.where(mask, prob, 0.0), order, axis=1)
+    cum = jnp.cumsum(p_sorted.astype(jnp.float32), axis=1)
+    nuc_sorted = cum <= ratio
+    nucleus = jnp.zeros((B, N), bool).at[
+        jnp.arange(B)[:, None], order
+    ].set(nuc_sorted)
+    return nucleus & mask
+
+
 def straight_through(feat: jnp.ndarray, prob: jnp.ndarray) -> jnp.ndarray:
     """ST estimator of ``MaskModule`` (``autoencoder.py:674-676``):
     value = feat, gradient flows through feat * prob."""

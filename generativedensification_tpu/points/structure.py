@@ -39,6 +39,9 @@ class PointSet:
     prob: jnp.ndarray | None = None         # (B, N) densification prob
     grid_coord: jnp.ndarray | None = None   # (B, N, 3) int32
     neighbor_idx: jnp.ndarray | None = None  # (B, N, 27) int32, -1 = absent
+    condition: int = struct.field(pytree_node=False, default=0)
+    # ^ PDNorm dataset-condition index (static: the reference condition is
+    #   a per-batch dataset-name string, prompt_driven_normalization.py:30-36)
 
     @property
     def batch_size(self) -> int:

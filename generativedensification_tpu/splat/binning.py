@@ -62,8 +62,17 @@ def bin_gaussians(
     width: int,
     tile_size: int = 32,
     max_tiles: int = 16,
+    max_pairs: int | None = None,
 ) -> TileBins:
-    """Bin one view's projected Gaussians into per-tile depth-ordered slabs."""
+    """Bin one view's projected Gaussians into per-tile depth-ordered slabs.
+
+    ``max_pairs``: optional static budget on LIVE (gaussian, tile) pairs.
+    Dead slots sort to the end, so the sorted arrays can be sliced to the
+    budget — every downstream slot-space cost (slab gathers, kernels,
+    grad slab) scales with it instead of the N*max_tiles worst case.
+    Live pairs beyond the budget are dropped back-of-the-depth-order and
+    counted in ``overflow``.
+    """
     xy = jax.lax.stop_gradient(proj.xy)
     radius = jax.lax.stop_gradient(proj.radius)
     depth = jax.lax.stop_gradient(proj.depth)
@@ -105,6 +114,23 @@ def bin_gaussians(
     tile_id = tile_y * tiles_x + tile_x                  # (N, D)
     slot_valid = (d < n_cover[:, None]) & valid[:, None]
 
+    if max_pairs is not None and max_pairs < N * max_tiles:
+        # depth-principled budget: drop the pairs of the globally FARTHEST
+        # gaussians first (not the sorted tail, which would clip the last
+        # tiles of the image).  Rank histogram + cumsum finds the depth-
+        # rank cutoff that fits the budget; all 1-D int32 ops (~1ms at 1M).
+        P = min(-(-int(max_pairs) // 1024) * 1024, N * max_tiles)
+        pair_rank = jnp.where(slot_valid, rank[:, None], N).reshape(-1)
+        per_rank = jnp.zeros((N + 1,), jnp.int32).at[pair_rank].add(1)
+        cum = jnp.cumsum(per_rank[:-1])            # pairs up to each rank
+        keep_rank = cum <= P                       # (N,) per depth rank
+        n_live = jnp.sum(slot_valid.astype(jnp.int32))
+        kept = jnp.sum(jnp.where(keep_rank, per_rank[:-1], 0))
+        overflow = overflow + (n_live - kept)
+        slot_valid = slot_valid & keep_rank[rank][:, None]
+    else:
+        P = N * max_tiles
+
     dead_key = jnp.int32(2**31 - 1)
     keys = jnp.where(
         slot_valid, tile_id * n_pow2 + rank[:, None], dead_key
@@ -112,6 +138,8 @@ def bin_gaussians(
     o = jnp.arange(N * max_tiles, dtype=jnp.int32)   # flat (gaussian, slot)
 
     sorted_keys, sorted_o = jax.lax.sort_key_val(keys, o)
+    sorted_keys = sorted_keys[:P]
+    sorted_o = sorted_o[:P]
     sorted_ids = sorted_o // max_tiles
     sorted_rank = jax.lax.rem(sorted_keys, jnp.int32(n_pow2))
     sorted_valid = sorted_keys != dead_key

@@ -172,7 +172,7 @@ def _tile(img, tiles_x, tiles_y, ts):
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
+@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13, 14))
 def composite_tiles(
     xy,
     xy_abs,
@@ -188,6 +188,7 @@ def composite_tiles(
     max_per_tile: int,
     chunk: int,
     backend: str = "xla",
+    n_slots: int = 0,
 ):
     """Composite N projected Gaussians into an image.
 
@@ -203,17 +204,18 @@ def composite_tiles(
     """
     out, _ = _fwd_impl(
         xy, xy_abs, conic, color, opacity, depth, bg, bins_arrays,
-        tiles_x, tiles_y, tile_size, max_per_tile, chunk, backend,
+        tiles_x, tiles_y, tile_size, max_per_tile, chunk, backend, n_slots,
     )
     return out
 
 
 def _fwd_impl(xy, xy_abs, conic, color, opacity, depth, bg, bins_arrays,
-              tiles_x, tiles_y, tile_size, max_per_tile, chunk, backend):
+              tiles_x, tiles_y, tile_size, max_per_tile, chunk, backend,
+              n_slots=0):
     if backend == "pallas":
         return _pallas_fwd(
             xy + xy_abs, conic, color, opacity, depth, bg, bins_arrays,
-            tiles_x, tiles_y, tile_size,
+            tiles_x, tiles_y, tile_size, n_slots,
         )
     return _xla_fwd(
         xy + xy_abs, conic, color, opacity, depth, bg, bins_arrays,
@@ -223,23 +225,115 @@ def _fwd_impl(xy, xy_abs, conic, color, opacity, depth, bg, bins_arrays,
 
 def _composite_fwd(xy, xy_abs, conic, color, opacity, depth, bg, bins_arrays,
                    tiles_x, tiles_y, tile_size, max_per_tile, chunk,
-                   backend="xla"):
+                   backend="xla", n_slots=0):
     out, res = _fwd_impl(
         xy, xy_abs, conic, color, opacity, depth, bg, bins_arrays,
-        tiles_x, tiles_y, tile_size, max_per_tile, chunk, backend,
+        tiles_x, tiles_y, tile_size, max_per_tile, chunk, backend, n_slots,
     )
     saved = (xy, conic, color, opacity, depth, bg, bins_arrays, res)
     return out, saved
 
 
 def _composite_bwd(tiles_x, tiles_y, tile_size, max_per_tile, chunk, backend,
-                   saved, cot):
+                   n_slots, saved, cot):
     if backend == "pallas":
-        return _pallas_bwd(saved, cot, tiles_x, tiles_y, tile_size)
+        return _pallas_bwd(saved, cot, tiles_x, tiles_y, tile_size, n_slots)
     return _xla_bwd(saved, cot, tiles_x, tiles_y, tile_size, max_per_tile, chunk)
 
 
 composite_tiles.defvjp(_composite_fwd, _composite_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused composite + AbsGS selection grads (shared-forward selection)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13, 14))
+def composite_tiles_sel(
+    xy, conic, color, opacity, depth, bg, gt, bins_arrays,
+    tiles_x: int, tiles_y: int, tile_size: int, max_per_tile: int,
+    chunk: int, backend: str = "xla", n_slots: int = 0,
+):
+    """``composite_tiles`` that ALSO emits the AbsGS selection gradients.
+
+    Returns ``(image, alpha, depth, sel_abs)`` where ``sel_abs`` (N, 2) is
+    the absolute screen-gradient of the per-view image MSE against ``gt``
+    (H, W, 3) — the reference's ``means2D.grad[:, 2:4]`` selection signal
+    (``network.py:865-878``) computed WITHOUT re-rendering: the forward's
+    residuals feed one extra (stop-gradient) application of the backward
+    kernel with the closed-form MSE cotangent.  ``sel_abs`` is a primal
+    output with zero gradient; the whole construction lives inside a
+    custom_vjp so outer AD never linearizes the backward kernel (whose
+    pallas_call has no JVP rule).
+    """
+    out, _, sel_abs = _fwd_sel_impl(
+        xy, conic, color, opacity, depth, bg, gt, bins_arrays,
+        tiles_x, tiles_y, tile_size, max_per_tile, chunk, backend, n_slots,
+    )
+    return (*out, sel_abs)
+
+
+def _fwd_sel_impl(xy, conic, color, opacity, depth, bg, gt, bins_arrays,
+                  tiles_x, tiles_y, tile_size, max_per_tile, chunk, backend,
+                  n_slots=0):
+    xy_abs = jnp.zeros_like(xy)
+    out, res = _fwd_impl(
+        xy, xy_abs, conic, color, opacity, depth, bg, bins_arrays,
+        tiles_x, tiles_y, tile_size, max_per_tile, chunk, backend, n_slots,
+    )
+    image = out[0]
+    H, W = gt.shape[:2]
+    # d/d image of mean((clip(image)[:H,:W] - gt)^2); clip passes gradient
+    # on [0, 1] inclusive (matches torch.clamp in renderer.py:261)
+    img_c = jnp.clip(image[:H, :W], 0.0, 1.0)
+    inside = (image[:H, :W] >= 0.0) & (image[:H, :W] <= 1.0)
+    cot_img = jnp.where(inside, (2.0 / (H * W * 3)) * (img_c - gt), 0.0)
+    cot_full = jnp.zeros_like(image).at[:H, :W].set(cot_img)
+    cot = (
+        jax.lax.stop_gradient(cot_full),
+        jnp.zeros_like(out[1]),
+        jnp.zeros_like(out[2]),
+    )
+    sg = jax.lax.stop_gradient
+    saved_sel = (
+        sg(xy), sg(conic), sg(color), sg(opacity), sg(depth), sg(bg),
+        bins_arrays, sg(res),
+    )
+    grads = _composite_bwd(
+        tiles_x, tiles_y, tile_size, max_per_tile, chunk, backend, n_slots,
+        saved_sel, cot,
+    )
+    sel_abs = sg(grads[1])                     # d_abs channels
+    return out, res, sel_abs
+
+
+def _composite_sel_fwd(xy, conic, color, opacity, depth, bg, gt, bins_arrays,
+                       tiles_x, tiles_y, tile_size, max_per_tile, chunk,
+                       backend="xla", n_slots=0):
+    out, res, sel_abs = _fwd_sel_impl(
+        xy, conic, color, opacity, depth, bg, gt, bins_arrays,
+        tiles_x, tiles_y, tile_size, max_per_tile, chunk, backend, n_slots,
+    )
+    saved = (xy, conic, color, opacity, depth, bg, bins_arrays, res, gt)
+    return (*out, sel_abs), saved
+
+
+def _composite_sel_bwd(tiles_x, tiles_y, tile_size, max_per_tile, chunk,
+                       backend, n_slots, saved, cot):
+    *saved_core, gt = saved
+    *cot_img, _cot_sel = cot                   # sel_abs carries no gradient
+    grads = _composite_bwd(
+        tiles_x, tiles_y, tile_size, max_per_tile, chunk, backend, n_slots,
+        tuple(saved_core), tuple(cot_img),
+    )
+    d_xy, d_abs, d_con, d_col, d_opa, d_dep, d_bg, d_bins = grads
+    del d_abs  # the zero xy_abs input is internal to the fused variant
+    d_gt = jnp.zeros_like(gt)
+    return (d_xy, d_con, d_col, d_opa, d_dep, d_bg, d_gt, d_bins)
+
+
+composite_tiles_sel.defvjp(_composite_sel_fwd, _composite_sel_bwd)
 
 
 def _bwd_common(saved, cot, tiles_x, tiles_y, ts):
@@ -453,19 +547,27 @@ def _xla_bwd(saved, cot, tiles_x, tiles_y, ts, max_per_tile, chunk):
 # ---------------------------------------------------------------------------
 
 
-def _slab_maps(bins_arrays, num_tiles):
-    """Backward index maps: (astarts, apos (P,)).
+def _slab_maps(bins_arrays, num_tiles, n_slots=0):
+    """Backward index maps: (astarts, apos (n_slots,)).
 
     ``apos[o]`` is the aligned grad-slab position of original slot ``o``
     (M-1 = a never-written, zero row for dead slots).  Everything here is
     1-D int32 sorts/cummaxes — the many-row scatter/gather formulations
-    all hit serialized or strided XLA paths (5-17ms at 1M slots)."""
+    all hit serialized or strided XLA paths (5-17ms at 1M slots).
+
+    With a pair budget (P < n_slots) the sorted arrays cover only the
+    surviving slots, so the inverse permutation is built by a 1-D int32
+    scatter (≤1.5ms at 1M) with the dead sentinel M-1 elsewhere."""
     ids, sorted_o, sorted_valid, _, _, tile_starts, tile_counts = bins_arrays
     P = ids.shape[0]
     astarts, pos = _aligned_layout(
         tile_starts, tile_counts, sorted_valid, P, num_tiles
     )
-    apos = jax.lax.sort_key_val(sorted_o, pos)[1]
+    if n_slots in (0, P):
+        apos = jax.lax.sort_key_val(sorted_o, pos)[1]
+    else:
+        M = _grad_slab_width(P, num_tiles)
+        apos = jnp.full((n_slots,), M - 1, jnp.int32).at[sorted_o].set(pos)
     return astarts, apos
 
 
@@ -499,12 +601,12 @@ def _sorted_slab(xy, conic, color, opacity, depth, ids, depth_order,
 
 
 def _pallas_fwd(xy, conic, color, opacity, depth, bg, bins_arrays,
-                tiles_x, tiles_y, tile_size):
+                tiles_x, tiles_y, tile_size, n_slots=0):
     from .pallas_kernels import pallas_composite_fwd
 
     ids, _, _, sorted_rank, depth_order, tile_starts, tile_counts = bins_arrays
     num_tiles = tiles_x * tiles_y
-    astarts, apos = _slab_maps(bins_arrays, num_tiles)
+    astarts, apos = _slab_maps(bins_arrays, num_tiles, n_slots)
     slab_t = _sorted_slab(
         xy, conic, color, opacity, depth, ids, depth_order, sorted_rank
     )
@@ -528,7 +630,7 @@ def _pallas_fwd(xy, conic, color, opacity, depth, bg, bins_arrays,
     return out, (C, D, T_eff, astarts, apos)
 
 
-def _pallas_bwd(saved, cot, tiles_x, tiles_y, ts):
+def _pallas_bwd(saved, cot, tiles_x, tiles_y, ts, n_slots=0):
     from .pallas_kernels import (
         RED_BN, pallas_composite_bwd, pallas_reduce_slots,
     )

@@ -21,7 +21,7 @@ from flax import struct
 
 from ..core.transforms import normalize_quat
 from .binning import bin_gaussians
-from .composite import composite_tiles
+from .composite import composite_tiles, composite_tiles_sel
 from .projection import project_gaussians
 
 
@@ -58,6 +58,8 @@ class RasterizeOutput:
     depth: jnp.ndarray      # (H, W) expected depth (Σ z·α·T)
     radii: jnp.ndarray      # (N,) screen radius in pixels (0 = culled)
     overflow: jnp.ndarray   # () binning slot-cap overflow diagnostic
+    sel_abs: jnp.ndarray | None = None  # (N, 2) AbsGS selection grads
+                                        # (only with rasterize(sel_gt=...))
 
 
 def rasterize(
@@ -77,6 +79,8 @@ def rasterize(
     screen_abs: jnp.ndarray | None = None,
     cov3d: jnp.ndarray | None = None,
     backend: str = "auto",
+    sel_gt: jnp.ndarray | None = None,
+    max_pairs: int | None = None,
 ) -> RasterizeOutput:
     """Differentiably splat N activated Gaussians into one camera.
 
@@ -87,6 +91,12 @@ def rasterize(
       screen_offset / screen_abs: optional (N, 2) zero tensors whose
         gradients expose the signed / absolute screen-space gradients used
         for densification selection.
+      sel_gt: optional (H, W, 3) ground-truth image; when given, the output
+        additionally carries ``sel_abs`` — the AbsGS selection gradients of
+        the image-MSE against it, computed from the shared forward without
+        a second rasterization (composite.composite_tiles_sel).
+      max_pairs: optional static live-pair budget; slot-space work scales
+        with it instead of N*max_tiles (dropped pairs count in overflow).
     """
     N = means3d.shape[0]
     H, W = camera.height, camera.width
@@ -104,7 +114,11 @@ def rasterize(
         rotations=normalize_quat(rotations) if rotations is not None else None,
         screen_offset=screen_offset,
     )
-    bins = bin_gaussians(proj, H, W, tile_size=tile_size, max_tiles=max_tiles)
+    bins = bin_gaussians(
+        proj, H, W, tile_size=tile_size, max_tiles=max_tiles,
+        max_pairs=max_pairs,
+    )
+    n_slots = N * max_tiles
 
     xy_abs = (
         jnp.zeros_like(proj.xy)
@@ -115,24 +129,41 @@ def rasterize(
     # masking is needed here; opacity is zeroed for numerical hygiene only
     opacity_eff = jnp.where(proj.valid, proj.opacity, 0.0)
 
-    image, alpha, depth = composite_tiles(
-        proj.xy,
-        xy_abs,
-        proj.conic,
-        proj.color,
-        opacity_eff,
-        proj.depth,
-        bg.astype(jnp.float32),
-        (bins.sorted_ids, bins.sorted_o, bins.sorted_valid,
-         bins.sorted_rank, bins.depth_order,
-         bins.tile_starts, bins.tile_counts),
-        bins.tiles_x,
-        bins.tiles_y,
-        tile_size,
-        max_per_tile,
-        chunk,
-        backend,
-    )
+    bins_arrays = (bins.sorted_ids, bins.sorted_o, bins.sorted_valid,
+                   bins.sorted_rank, bins.depth_order,
+                   bins.tile_starts, bins.tile_counts)
+    sel_abs = None
+    if sel_gt is not None:
+        image, alpha, depth, sel_abs = composite_tiles_sel(
+            proj.xy, proj.conic, proj.color, opacity_eff, proj.depth,
+            bg.astype(jnp.float32), sel_gt.astype(jnp.float32), bins_arrays,
+            bins.tiles_x, bins.tiles_y, tile_size, max_per_tile, chunk,
+            backend, n_slots,
+        )
+        # named so the render-level remat policy can SAVE the selection
+        # grads: replaying the fused selection backward inside
+        # jax.checkpoint would double its kernel cost
+        from jax.ad_checkpoint import checkpoint_name
+
+        sel_abs = checkpoint_name(sel_abs, "sel_abs")
+    else:
+        image, alpha, depth = composite_tiles(
+            proj.xy,
+            xy_abs,
+            proj.conic,
+            proj.color,
+            opacity_eff,
+            proj.depth,
+            bg.astype(jnp.float32),
+            bins_arrays,
+            bins.tiles_x,
+            bins.tiles_y,
+            tile_size,
+            max_per_tile,
+            chunk,
+            backend,
+            n_slots,
+        )
     # crop any tile padding back to the true resolution
     image = jnp.clip(image[:H, :W], 0.0, 1.0)
     alpha = alpha[:H, :W]
@@ -143,6 +174,7 @@ def rasterize(
         depth=depth,
         radii=proj.radius,
         overflow=bins.overflow,
+        sel_abs=sel_abs,
     )
 
 

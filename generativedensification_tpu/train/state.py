@@ -67,6 +67,24 @@ def restore_checkpoint(ckpt_dir: str, template: TrainState,
     return restored
 
 
+def restore_params(ckpt_dir: str, step: int | None = None):
+    """Restore only the ``params`` subtree of a training checkpoint.
+
+    Template-free restore: the eval path must load *training* checkpoints
+    whose full optimizer state it neither has nor wants — a mismatched
+    state template cannot be used (r1 weak #7).
+    """
+    mgr = _manager(ckpt_dir)
+    step = mgr.latest_step() if step is None else step
+    if step is None:
+        raise FileNotFoundError(f"no checkpoint found in {ckpt_dir}")
+    restored = mgr.restore(step)  # raw pytree, as saved
+    mgr.close()
+    if isinstance(restored, dict) and "params" in restored:
+        return restored["params"]
+    return restored.params
+
+
 def latest_step(ckpt_dir: str) -> int | None:
     import orbax.checkpoint as ocp
 

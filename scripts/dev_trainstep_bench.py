@@ -34,6 +34,11 @@ cfg = NetworkConfig(
     max_tiles=4,
     max_per_tile=4096,
     raster_chunk=32,
+    compute_dtype=os.environ.get("DTYPE", "float32"),
+    renderer=os.environ.get("RENDERER", "3dgs"),
+    share_selection=os.environ.get("SHARESEL", "1") == "1",
+    remat_renders=os.environ.get("REMAT", "1") == "1",
+    pair_budget=float(os.environ.get("PAIRS", "0")),
 )
 net = Network(cfg)
 batch = _make_batch(B=B, V_total=8, H=H, W=W, n_views=cfg.n_views)

@@ -13,6 +13,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # whole-network compiles (minutes on 1 CPU core)
+
 from generativedensification_tpu.models.network import Network, NetworkConfig
 from generativedensification_tpu.utils.torch_convert import (
     convert_state_dict,

@@ -150,3 +150,60 @@ class TestNeighborIdx:
                         assert got in want, (b, i, k, got, want)
                 # the center offset must resolve to the point's own voxel
                 assert nbr[b, i, 13] in occupied[tuple(gc[b, i])]
+
+
+class TestTopPMask:
+    def test_nucleus_semantics(self):
+        """Inclusive-cumsum nucleus over sorted probs (autoencoder.py:548-612)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from generativedensification_tpu.points.ops import top_p_mask
+
+        prob = jnp.asarray([[0.4, 0.05, 0.3, 0.15, 0.1]])
+        mask = jnp.ones((1, 5), bool)
+        # sorted desc: .4, .3, .15, .1, .05; cumsum: .4, .7, .85, .95, 1.0
+        out = np.asarray(top_p_mask(prob, mask, 0.85)[0])
+        assert out.tolist() == [True, False, True, True, False]
+        out = np.asarray(top_p_mask(prob, mask, 0.5)[0])
+        assert out.tolist() == [True, False, False, False, False]
+
+    def test_invalid_points_excluded(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from generativedensification_tpu.points.ops import top_p_mask
+
+        prob = jnp.asarray([[0.9, 0.6, 0.3]])
+        mask = jnp.asarray([[False, True, True]])
+        out = np.asarray(top_p_mask(prob, mask, 0.7)[0])
+        assert out.tolist() == [False, True, False]
+
+
+class TestPDNorm:
+    def test_condition_selects_affine(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from generativedensification_tpu.points.modules import PDNorm
+
+        m = PDNorm(dim=4, n_conditions=3)
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 8, 4)),
+                        jnp.float32)
+        p = m.init(jax.random.PRNGKey(0), x, 0)
+        p = jax.tree.map(lambda a: a, p)
+        import flax
+
+        pd = flax.core.unfreeze(p)
+        pd["params"]["scale"] = (
+            jnp.asarray(pd["params"]["scale"]).at[1].set(2.0)
+        )
+        pd["params"]["bias"] = (
+            jnp.asarray(pd["params"]["bias"]).at[1].set(1.0)
+        )
+        y0 = m.apply(pd, x, 0)
+        y1 = m.apply(pd, x, 1)
+        np.testing.assert_allclose(
+            np.asarray(y1), np.asarray(y0) * 2.0 + 1.0, rtol=1e-5
+        )

@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # whole-network compiles (minutes on 1 CPU core)
+
 from generativedensification_tpu.core.camera import fov_to_intrinsics
 from generativedensification_tpu.core.rays import build_rays
 from generativedensification_tpu.models.network import Network, NetworkConfig

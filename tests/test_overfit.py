@@ -1,0 +1,73 @@
+"""End-to-end quality regression: overfit one synthetic scene.
+
+The reference's de-facto acceptance suite is eval of released checkpoints
+(SURVEY.md §4) — unavailable offline; this is the standing substitute:
+train the tiny full pipeline (coarse + selection + densifier + fine render)
+on one procedurally rendered scene and require real PSNR movement.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+from generativedensification_tpu.models.network import Network, NetworkConfig
+from generativedensification_tpu.train.loss import Losses
+from generativedensification_tpu.train.optim import make_optimizer
+from generativedensification_tpu.train.state import create_train_state
+from generativedensification_tpu.train.step import make_train_step
+
+
+class _Cfg(dict):
+    def __getattr__(self, k):
+        return self[k]
+
+    def get(self, k, d=None):
+        return super().get(k, d)
+
+
+def _scene_batch():
+    from generativedensification_tpu.data.pipeline import collate, to_device_batch
+    from generativedensification_tpu.data.synthetic import SyntheticDataset
+
+    ds = SyntheticDataset(_Cfg(
+        img_size=[64, 64], n_group=2, n_scenes=1, n_gaussians=96,
+    ))
+    return to_device_batch(collate([ds[0]]))
+
+
+def test_overfit_single_scene():
+    cfg = NetworkConfig(
+        n_views=2, encoder_backbone="tiny_test", n_groups=(4,),
+        n_offset_groups=8, num_layers=1, num_heads=4, view_embed_dim=8,
+        embedding_dim=32, vol_feat_reso=4, vol_embedding_reso=8,
+        vol_embedding_out_dim=16, k_num=96, dec_depths=(1, 1),
+        dec_channels=(32, 48), dec_num_head=(4, 6), dec_patch_size=(48, 48),
+        drop_path=0.0, non_leaf_ratio=(0.75,), upscale_factor=(2, 4),
+        mask_pool=192, tile_size=16, max_tiles=4, max_per_tile=256,
+        raster_chunk=16, vmap_renders=True,
+    )
+    net = Network(cfg)
+    batch = _scene_batch()
+    params = net.init({"params": jax.random.PRNGKey(0)}, batch, with_fine=True)
+    tx, _ = make_optimizer(params, lr=2e-3, warmup_iters=20, accumulate=1)
+    state = create_train_state(params, tx)
+    step = make_train_step(net, tx, Losses(ssim_levels=2), with_fine=True)
+
+    first_psnr = None
+    stats = {}
+    for i in range(90):
+        state, stats = step(state, batch)
+        if i == 4:
+            first_psnr = float(stats["psnr"])
+    final_psnr = float(stats["psnr"])
+    final_fine = float(stats["psnr_fine"])
+
+    assert np.isfinite(final_psnr) and np.isfinite(final_fine)
+    assert final_psnr - first_psnr > 1.5, (
+        f"coarse PSNR did not improve: {first_psnr:.2f} -> {final_psnr:.2f}"
+    )
+    assert final_psnr > 14.0, f"final coarse PSNR too low: {final_psnr:.2f}"
+    assert float(stats["overflow"]) == 0.0

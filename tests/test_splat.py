@@ -300,3 +300,146 @@ class TestGradients:
         g_signed, g_abs = jax.grad(loss, argnums=(0, 1))(zeros, zeros)
         assert float(g_abs[0, 0]) >= abs(float(g_signed[0, 0])) - 1e-6
         assert float(g_abs[0, 0]) > 0
+
+
+class TestFusedSelection:
+    def test_sel_abs_matches_isolated_grad(self):
+        """rasterize(sel_gt=gt).sel_abs == AbsGS grads of the isolated
+        MSE closure (the reference's second-render selection pass)."""
+        import numpy as np
+
+        from generativedensification_tpu.core.camera import Camera
+        from generativedensification_tpu.splat.rasterizer import rasterize
+
+        rng = np.random.default_rng(7)
+        N, H, W = 300, 64, 64
+        means = jnp.asarray(rng.uniform(-0.4, 0.4, (N, 3)), jnp.float32)
+        shs = jnp.asarray(rng.normal(size=(N, 4, 3)) * 0.3, jnp.float32)
+        opa = jnp.asarray(rng.uniform(0.2, 0.9, N), jnp.float32)
+        scales = jnp.asarray(
+            np.exp(rng.uniform(np.log(0.02), np.log(0.08), (N, 3))), jnp.float32
+        )
+        quats = jnp.asarray(rng.normal(size=(N, 4)), jnp.float32)
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[2, 3] = -1.9
+        cam = Camera.from_c2w(jnp.asarray(c2w), 0.8, 0.8, W, H, 0.1, 10.0)
+        bg = jnp.ones(3)
+        gt = jnp.asarray(rng.uniform(size=(H, W, 3)), jnp.float32)
+        kw = dict(tile_size=16, max_tiles=8, max_per_tile=1024, chunk=32)
+
+        out = jax.jit(
+            lambda: rasterize(means, shs, opa, scales, quats, cam, bg, 1,
+                              sel_gt=gt, **kw)
+        )()
+
+        def isolated(sabs):
+            o = rasterize(means, shs, opa, scales, quats, cam, bg, 1,
+                          screen_abs=sabs, **kw)
+            return jnp.mean((o.image - gt) ** 2)
+
+        g_abs = jax.jit(jax.grad(isolated))(jnp.zeros((N, 2)))
+        np.testing.assert_allclose(
+            np.asarray(out.sel_abs), np.asarray(g_abs), rtol=1e-5, atol=1e-7
+        )
+
+    def test_sel_output_image_unchanged(self):
+        import numpy as np
+
+        from generativedensification_tpu.core.camera import Camera
+        from generativedensification_tpu.splat.rasterizer import rasterize
+
+        rng = np.random.default_rng(8)
+        N, H, W = 200, 64, 64
+        means = jnp.asarray(rng.uniform(-0.4, 0.4, (N, 3)), jnp.float32)
+        shs = jnp.asarray(rng.normal(size=(N, 4, 3)) * 0.3, jnp.float32)
+        opa = jnp.asarray(rng.uniform(0.2, 0.9, N), jnp.float32)
+        scales = jnp.full((N, 3), 0.04, jnp.float32)
+        quats = jnp.asarray(rng.normal(size=(N, 4)), jnp.float32)
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[2, 3] = -1.9
+        cam = Camera.from_c2w(jnp.asarray(c2w), 0.8, 0.8, W, H, 0.1, 10.0)
+        bg = jnp.ones(3)
+        gt = jnp.asarray(rng.uniform(size=(H, W, 3)), jnp.float32)
+        kw = dict(tile_size=16, max_tiles=8, max_per_tile=1024, chunk=32)
+
+        a = jax.jit(lambda: rasterize(means, shs, opa, scales, quats, cam,
+                                      bg, 1, **kw))()
+        b = jax.jit(lambda: rasterize(means, shs, opa, scales, quats, cam,
+                                      bg, 1, sel_gt=gt, **kw))()
+        np.testing.assert_array_equal(np.asarray(a.image), np.asarray(b.image))
+
+        # gradients through the fused variant match plain composite_tiles
+        def loss_plain(m):
+            return jnp.sum(rasterize(m, shs, opa, scales, quats, cam, bg, 1,
+                                     **kw).image ** 2)
+
+        def loss_sel(m):
+            return jnp.sum(rasterize(m, shs, opa, scales, quats, cam, bg, 1,
+                                     sel_gt=gt, **kw).image ** 2)
+
+        gp = jax.jit(jax.grad(loss_plain))(means)
+        gs = jax.jit(jax.grad(loss_sel))(means)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gs),
+                                   rtol=1e-6, atol=1e-8)
+
+
+class TestPairBudget:
+    def _scene(self):
+        import numpy as np
+
+        from generativedensification_tpu.core.camera import Camera
+
+        rng = np.random.default_rng(11)
+        N, H, W = 400, 64, 64
+        means = jnp.asarray(rng.uniform(-0.4, 0.4, (N, 3)), jnp.float32)
+        shs = jnp.asarray(rng.normal(size=(N, 4, 3)) * 0.3, jnp.float32)
+        opa = jnp.asarray(rng.uniform(0.2, 0.9, N), jnp.float32)
+        scales = jnp.asarray(
+            np.exp(rng.uniform(np.log(0.02), np.log(0.08), (N, 3))),
+            jnp.float32,
+        )
+        quats = jnp.asarray(rng.normal(size=(N, 4)), jnp.float32)
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[2, 3] = -1.9
+        cam = Camera.from_c2w(jnp.asarray(c2w), 0.8, 0.8, W, H, 0.1, 10.0)
+        return means, shs, opa, scales, quats, cam
+
+    def test_ample_budget_bitwise_equal(self):
+        import numpy as np
+
+        from generativedensification_tpu.splat.rasterizer import rasterize
+
+        means, shs, opa, scales, quats, cam = self._scene()
+        bg = jnp.ones(3)
+        kw = dict(tile_size=16, max_tiles=8, max_per_tile=1024, chunk=32)
+        a = jax.jit(lambda m: rasterize(m, shs, opa, scales, quats, cam, bg,
+                                        1, **kw))(means)
+        # budget >= all live pairs: identical images AND identical grads
+        b = jax.jit(lambda m: rasterize(m, shs, opa, scales, quats, cam, bg,
+                                        1, max_pairs=400 * 8, **kw))(means)
+        np.testing.assert_array_equal(np.asarray(a.image), np.asarray(b.image))
+
+        ga = jax.jit(jax.grad(lambda m: jnp.sum(
+            rasterize(m, shs, opa, scales, quats, cam, bg, 1, **kw).image ** 2
+        )))(means)
+        gb = jax.jit(jax.grad(lambda m: jnp.sum(
+            rasterize(m, shs, opa, scales, quats, cam, bg, 1,
+                      max_pairs=400 * 8, **kw).image ** 2
+        )))(means)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   rtol=1e-6, atol=1e-8)
+
+    def test_tiny_budget_overflows_finite(self):
+        import numpy as np
+
+        from generativedensification_tpu.splat.rasterizer import rasterize
+
+        means, shs, opa, scales, quats, cam = self._scene()
+        bg = jnp.ones(3)
+        kw = dict(tile_size=16, max_tiles=8, max_per_tile=1024, chunk=32)
+        out = jax.jit(lambda m: rasterize(m, shs, opa, scales, quats, cam,
+                                          bg, 1, max_pairs=1024, **kw))(means)
+        full = jax.jit(lambda m: rasterize(m, shs, opa, scales, quats, cam,
+                                           bg, 1, **kw))(means)
+        assert int(out.overflow) > int(full.overflow)
+        assert bool(jnp.isfinite(out.image).all())

@@ -163,6 +163,7 @@ class TestLoader:
 
 
 class TestDataParallelStep:
+    @pytest.mark.slow
     def test_full_train_step_on_virtual_mesh(self):
         """Run the full DP training step on a virtual multi-device CPU mesh.
 
@@ -189,3 +190,55 @@ class TestDataParallelStep:
         )
         assert res.returncode == 0, res.stderr[-2000:]
         assert "devices OK" in res.stdout
+
+
+class TestCheckpointRoundtrip:
+    def _tiny_state(self):
+        from generativedensification_tpu.train.optim import make_optimizer
+        from generativedensification_tpu.train.state import create_train_state
+
+        params = {
+            "dense": {"kernel": jnp.arange(12.0).reshape(3, 4), "bias": jnp.ones(4)},
+            "ln": {"scale": jnp.full(4, 0.5)},
+        }
+        tx, _ = make_optimizer(params, accumulate=2)
+        state = create_train_state(params, tx, seed=3)
+        # advance once so the optimizer state is non-trivial
+        g = jax.tree.map(jnp.ones_like, params)
+        import optax
+
+        up, opt_state = tx.update(g, state.opt_state, state.params)
+        return state.replace(
+            params=optax.apply_updates(state.params, up),
+            opt_state=opt_state,
+            step=jnp.asarray(7, jnp.int32),
+        ), tx
+
+    def test_save_restore_bitwise(self, tmp_path):
+        from generativedensification_tpu.train.state import (
+            restore_checkpoint,
+            save_checkpoint,
+        )
+
+        state, tx = self._tiny_state()
+        ckpt = str(tmp_path / "ckpts")
+        save_checkpoint(ckpt, jax.device_get(state), 7)
+        template = jax.tree.map(jnp.zeros_like, state)
+        restored = restore_checkpoint(ckpt, template)
+        for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_params_only_restore_no_template(self, tmp_path):
+        """Eval loads training checkpoints without an optimizer-state
+        template (r1 weak #7: mismatched identity-opt template)."""
+        from generativedensification_tpu.train.state import (
+            restore_params,
+            save_checkpoint,
+        )
+
+        state, _ = self._tiny_state()
+        ckpt = str(tmp_path / "ckpts")
+        save_checkpoint(ckpt, jax.device_get(state), 7)
+        params = restore_params(ckpt)
+        for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
