@@ -16,6 +16,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -51,6 +52,22 @@ def main():
     bg = jnp.ones(3)
     gt = jnp.asarray(rng.uniform(size=(H, W, 3)), jnp.float32)
 
+    RASTER_KW = dict(
+        sh_degree=1,
+        tile_size=32,
+        max_tiles=4,
+        max_per_tile=4096,
+        chunk=32,
+        # optional static live-pair budget (BENCH_PAIRS env, pairs per
+        # gaussian).  At 131k the direct-gather fast path already avoids
+        # the slab walls, so the budget is a wash here (it pays at 262k+);
+        # off by default, overflow == 0 asserted when enabled
+        max_pairs=(
+            int(float(os.environ.get("BENCH_PAIRS", "0")) * N_GAUSSIANS)
+            if float(os.environ.get("BENCH_PAIRS", "0")) > 0 else None
+        ),
+    )
+
     def loss_fn(means, shs, opa_raw, scale_raw, quats):
         out = rasterize(
             means,
@@ -60,15 +77,20 @@ def main():
             quats,
             cam,
             bg,
-            sh_degree=1,
-            tile_size=32,
-            max_tiles=4,  # overflow==0 verified for this scene (bin_gaussians overflow counter)
-            max_per_tile=4096,
-            chunk=32,
+            **RASTER_KW,
         )
         return jnp.mean((out.image - gt) ** 2)
 
     step = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4)))
+
+    # overflow guard: the budget must not drop pairs on the bench scene
+    probe = jax.jit(
+        lambda: rasterize(
+            means, shs, jax.nn.sigmoid(opa_raw), jnp.exp(scale_raw), quats,
+            cam, bg, **RASTER_KW,
+        ).overflow
+    )()
+    assert int(probe) == 0, f"pair budget overflowed: {int(probe)}"
 
     # warmup / compile
     g = step(means, shs, opa_raw, scale_raw, quats)

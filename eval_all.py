@@ -21,6 +21,12 @@ RUNS = [
     ("gobjaverse", "gobjeverse", "dataset/gobjaverse/gobjaverse.h5", []),
     ("co3d_teddybear", "gobjeverse", "dataset/Co3D/co3d_teddybear.hdf5", []),
     ("co3d_hydrant", "gobjeverse", "dataset/Co3D/co3d_hydrant.hdf5", []),
+    # BASELINE.json config 4: Co3D with the 2DGS surfel renderer
+    # (depth/normal side outputs; reference swaps the renderer import)
+    ("co3d_teddybear_2dgs", "gobjeverse", "dataset/Co3D/co3d_teddybear.hdf5",
+     ["tpu.renderer=2dgs"]),
+    ("co3d_hydrant_2dgs", "gobjeverse", "dataset/Co3D/co3d_hydrant.hdf5",
+     ["tpu.renderer=2dgs"]),
 ]
 
 CKPTS = [

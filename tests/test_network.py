@@ -157,3 +157,42 @@ class TestFine:
         params = net.init({"params": jax.random.PRNGKey(1)}, batch, with_fine=True)
         out = net.apply(params, batch, with_fine=True)
         assert np.isfinite(np.asarray(out["image_fine"])).all()
+
+
+class Test2DGSTraining:
+    def test_train_step_with_surfel_renderer(self):
+        """tpu.renderer=2dgs end-to-end: one train step, 2DGS regularizer
+        terms active and finite gradients (VERDICT r1 item 4)."""
+        from generativedensification_tpu.data.synthetic import make_probe_batch
+        from generativedensification_tpu.train.loss import Losses
+        from generativedensification_tpu.train.optim import make_optimizer
+        from generativedensification_tpu.train.state import create_train_state
+        from generativedensification_tpu.train.step import make_train_step
+
+        cfg = NetworkConfig(
+            n_views=2, encoder_backbone="tiny_test", n_groups=(4,),
+            n_offset_groups=8, num_layers=1, num_heads=4, view_embed_dim=8,
+            embedding_dim=32, vol_feat_reso=4, vol_embedding_reso=8,
+            vol_embedding_out_dim=16, k_num=96, dec_depths=(1, 1),
+            dec_channels=(32, 48), dec_num_head=(4, 6),
+            dec_patch_size=(48, 48), drop_path=0.0, non_leaf_ratio=(0.75,),
+            upscale_factor=(2, 4), mask_pool=192, tile_size=16, max_tiles=4,
+            max_per_tile=256, raster_chunk=16, vmap_renders=True,
+            renderer="2dgs",
+        )
+        net = Network(cfg)
+        batch = make_probe_batch(B=1, V_total=4, H=64, W=64, n_views=2)
+        params = net.init(
+            {"params": jax.random.PRNGKey(0)}, batch, with_fine=True
+        )
+        tx, _ = make_optimizer(params, accumulate=1)
+        state = create_train_state(params, tx)
+        # step > 1000 so the distortion/normal loss terms are active
+        state = state.replace(step=jnp.asarray(2000, jnp.int32))
+        step_fn = make_train_step(net, tx, Losses(ssim_levels=2),
+                                  with_fine=True, donate=False)
+        new_state, stats = step_fn(state, batch)
+        assert "distortion" in stats and "normal" in stats
+        assert np.isfinite(float(stats["loss"]))
+        assert np.isfinite(float(stats["grad_norm"]))
+        assert float(stats["grad_norm"]) > 0
