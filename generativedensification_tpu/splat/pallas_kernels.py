@@ -403,6 +403,15 @@ def _bwd_kernel(
             sem.at[slot],
         )
 
+    def dma_out(slot, c):
+        off = pl.multiple_of(astart + c * CHUNK, CHUNK)
+        boff = pl.multiple_of(slot * SLAB_W, SLAB_W)
+        return pltpu.make_async_copy(
+            gbuf.at[pl.ds(boff, SLAB_W)],
+            grad_hbm.at[:, pl.ds(off, CHUNK)],
+            gsem.at[slot],
+        )
+
     @pl.when(n_chunks > 0)
     def _():
         dma_in(0, 0).start()
@@ -482,17 +491,21 @@ def _bwd_kernel(
         # consumer inverts the binning sort with an axis-1 gather (compact
         # layouts end to end — row-major variants force either a strided
         # scatter or a 16-lane Mosaic slice, both measured dead ends)
-        gbuf[:, :] = gradT.T
-
         # grads land in this tile's DISJOINT aligned segment (the slab is
         # read overlapping at chunk granularity, so writing back in slab
-        # coordinates would collide at tile boundaries)
-        off = pl.multiple_of(astart + c * CHUNK, CHUNK)
-        out_dma = pltpu.make_async_copy(
-            gbuf, grad_hbm.at[:, pl.ds(off, CHUNK)], gsem
-        )
-        out_dma.start()
-        out_dma.wait()
+        # coordinates would collide at tile boundaries).  The writeback is
+        # double-buffered: wait for the slot's previous DMA (chunk c-2),
+        # write, start — overlapping the copy with the next chunk's
+        # compute instead of stalling every iteration.
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c >= 2)
+        def _():
+            dma_out(slot, c - 2).wait()
+
+        boffg = pl.multiple_of(slot * SLAB_W, SLAB_W)
+        gbuf[pl.ds(boffg, SLAB_W), :] = gradT.T
+        dma_out(slot, c).start()
         return (c + 1, T_raw, prefix)
 
     def cond(state):
@@ -504,6 +517,15 @@ def _bwd_kernel(
     @pl.when(c < n_chunks)
     def _():
         dma_in(c % 2, c).wait()
+
+    # drain the last (up to two) outstanding grad write-backs
+    @pl.when(c >= 2)
+    def _():
+        dma_out(jax.lax.rem(c - 2, 2), c - 2).wait()
+
+    @pl.when(c >= 1)
+    def _():
+        dma_out(jax.lax.rem(c - 1, 2), c - 1).wait()
 
 
 def pallas_composite_bwd(
@@ -548,9 +570,9 @@ def pallas_composite_bwd(
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
             pltpu.VMEM((2 * SLAB_W, CHUNK), jnp.float32),
-            pltpu.VMEM((SLAB_W, CHUNK), jnp.float32),
+            pltpu.VMEM((2 * SLAB_W, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(_bwd_kernel, tiles_x=tiles_x, ts=tile_size)

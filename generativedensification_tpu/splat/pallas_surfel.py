@@ -103,9 +103,14 @@ def _chunk_geometry(AT, Xl, Yl, ox, oy, offset, count, znear, zfar):
     alpha = jnp.where(ok, alpha, 0.0)
 
     F = zfar / (zfar - znear)
-    zc = jnp.maximum(zhit, 1e-6)
-    m = F * (1.0 - znear / zc)
-    dmdz = jnp.where(zhit > 1e-6, F * znear / (zc * zc), 0.0)
+    # 1/zhit = safe/det: one per-surfel reciprocal instead of two full
+    # (CHUNK, NPIX) divisions (znear/zc and the dmdz quotient)
+    det_c = col(_DET)
+    det_safe = jnp.where(jnp.abs(det_c) < 1e-12, 1.0, det_c)
+    rdet = jnp.where(jnp.abs(det_c) < 1e-12, 0.0, 1.0 / det_safe)
+    inv_zc = jnp.where(zhit > 1e-6, safe * rdet, 1e6)  # = 1/max(zhit, 1e-6)
+    m = F * (1.0 - znear * inv_zc)
+    dmdz = jnp.where(zhit > 1e-6, F * znear * inv_zc * inv_zc, 0.0)
     return alpha, sel3, crx, cry, rz, zhit, m, dmdz, dxl, dyl
 
 
@@ -359,6 +364,15 @@ def _bwd_kernel(
             sem.at[slot],
         )
 
+    def dma_out(slot, c):
+        off = pl.multiple_of(astart + c * CHUNK, CHUNK)
+        boff = pl.multiple_of(slot * SLAB_W2, SLAB_W2)
+        return pltpu.make_async_copy(
+            gbuf.at[pl.ds(boff, SLAB_W2)],
+            grad_hbm.at[:, pl.ds(off, CHUNK)],
+            gsem.at[slot],
+        )
+
     @pl.when(n_chunks > 0)
     def _():
         dma_in(0, 0).start()
@@ -452,14 +466,16 @@ def _bwd_kernel(
             ],
             axis=1,
         )  # (CHUNK, SLAB_W2) — grad rows mirror the attribute layout
-        gbuf[:, :] = gradT.T
+        # double-buffered grad writeback (overlap copy with next chunk)
+        slot = jax.lax.rem(c, 2)
 
-        off = pl.multiple_of(astart + c * CHUNK, CHUNK)
-        out_dma = pltpu.make_async_copy(
-            gbuf, grad_hbm.at[:, pl.ds(off, CHUNK)], gsem
-        )
-        out_dma.start()
-        out_dma.wait()
+        @pl.when(c >= 2)
+        def _():
+            dma_out(slot, c - 2).wait()
+
+        boffg = pl.multiple_of(slot * SLAB_W2, SLAB_W2)
+        gbuf[pl.ds(boffg, SLAB_W2), :] = gradT.T
+        dma_out(slot, c).start()
 
         m1 = m1 + jnp.sum(wm, axis=0, keepdims=True)
         m2 = m2 + jnp.sum(wm2, axis=0, keepdims=True)
@@ -476,6 +492,14 @@ def _bwd_kernel(
     @pl.when(c < n_chunks)
     def _():
         dma_in(c % 2, c).wait()
+
+    @pl.when(c >= 2)
+    def _():
+        dma_out(jax.lax.rem(c - 2, 2), c - 2).wait()
+
+    @pl.when(c >= 1)
+    def _():
+        dma_out(jax.lax.rem(c - 1, 2), c - 1).wait()
 
 
 def pallas_surfel_bwd(saved, cot, tiles_x, tiles_y, tile_size):
@@ -551,9 +575,9 @@ def pallas_surfel_bwd(saved, cot, tiles_x, tiles_y, tile_size):
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
             pltpu.VMEM((2 * SLAB_W2, CHUNK), jnp.float32),
-            pltpu.VMEM((SLAB_W2, CHUNK), jnp.float32),
+            pltpu.VMEM((2 * SLAB_W2, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(_bwd_kernel, tiles_x=tiles_x, ts=tile_size)
