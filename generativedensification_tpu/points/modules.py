@@ -39,15 +39,6 @@ from .ops import (
 from .structure import PointSet, gather_points
 
 
-class LayerNormNoAffine(nn.Module):
-    """LayerNorm(elementwise_affine=False) — the decoder's ln_layer
-    (``network.py:430-433``, lnnorm_affine=False)."""
-
-    @nn.compact
-    def __call__(self, x):
-        return masked_layer_norm(x)
-
-
 class PDNorm(nn.Module):
     """Prompt-driven normalization (Pointcept PPT): per-dataset-condition
     affine over the shared LayerNorm statistics, selected by the point

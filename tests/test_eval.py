@@ -70,3 +70,62 @@ def test_eval_loop_with_video_and_mesh(tmp_path):
     assert any(f.endswith((".mp4", ".png")) and "_mesh" not in f
                for f in files), files                               # video
     assert any(f.endswith(".obj") for f in files), files            # mesh
+
+
+import pytest
+
+
+@pytest.mark.slow
+def test_eval_finetuning_improves_source_mse(tmp_path):
+    """infer.finetuning.with_ft wiring (VERDICT r1 item 6): the eval loop
+    runs per-scene finetuning and the refined Gaussians render the source
+    views with lower MSE than the feed-forward output."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from generativedensification_tpu.data.pipeline import collate, to_device_batch
+    from generativedensification_tpu.data.synthetic import SyntheticDataset
+    from generativedensification_tpu.eval.evaluation import (
+        build_model,
+        finetune_scene,
+        load_params,
+    )
+
+    cfg = load_config(
+        None,
+        TINY + [
+            "infer.dataset.dataset_name=synthetic",
+            "infer.dataset.n_scenes=1",
+            "infer.dataset.img_size=[64,64]",
+            "infer.dataset.n_group=2",
+            "infer.finetuning.with_ft=True",
+            "infer.finetuning.steps=40",
+            f"infer.save_folder={tmp_path}",
+        ],
+        infer=True,
+    )
+    net, net_cfg = build_model(cfg)
+    ds = SyntheticDataset(cfg.infer.dataset)
+    sample = collate([ds[0]])
+    batch = to_device_batch(sample)
+    params = load_params(cfg, net, batch)
+    out = jax.jit(
+        lambda p, b: net.apply(p, b, with_fine=True, deterministic=True)
+    )(params, batch)
+
+    B, V, H, W, _ = batch["tar_rgb"].shape
+    n_views = cfg.n_views
+    gt = batch["tar_rgb"].transpose(0, 2, 1, 3, 4).reshape(1, H, V * W, 3)
+    src = slice(0, W * n_views)
+    mse_before = float(jnp.mean(
+        (out["image_fine"][:, :, src] - gt[:, :, src]) ** 2
+    ))
+    image_fine, _ = finetune_scene(
+        out, batch, net_cfg, cfg.infer.finetuning, n_views
+    )
+    mse_after = float(jnp.mean(
+        (image_fine[:, :, src] - gt[:, :, src]) ** 2
+    ))
+    assert np.isfinite(mse_after)
+    assert mse_after < mse_before, (mse_before, mse_after)

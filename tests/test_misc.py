@@ -207,3 +207,54 @@ class TestPDNorm:
         np.testing.assert_allclose(
             np.asarray(y1), np.asarray(y0) * 2.0 + 1.0, rtol=1e-5
         )
+
+
+class TestBf16Policy:
+    def test_compute_dtype_and_param_dtype(self):
+        """bf16-mixed policy: module compute in bf16, params f32, LN-stat
+        and head outputs back in f32 (VERDICT r1 item 3)."""
+        import jax
+        import jax.numpy as jnp
+
+        from generativedensification_tpu.models.vit import DinoEncoder
+        from generativedensification_tpu.points.modules import (
+            PointMLP,
+            WindowAttention,
+        )
+        from generativedensification_tpu.points.ops import masked_layer_norm
+        from generativedensification_tpu.points.structure import (
+            PointSet,
+            serialize_pointset,
+        )
+
+        x = jnp.ones((2, 48, 32), jnp.float32)
+        mlp = PointMLP(hidden=64, out=32, dtype=jnp.bfloat16)
+        p = mlp.init(jax.random.PRNGKey(0), x)
+        assert all(v.dtype == jnp.float32 for v in jax.tree.leaves(p))
+        y = mlp.apply(p, x)
+        assert y.dtype == jnp.bfloat16
+
+        ps = PointSet(coord=jnp.zeros((1, 96, 3)), feat=jnp.zeros((1, 96, 32)),
+                      mask=jnp.ones((1, 96), bool), grid_size=0.1)
+        ps = serialize_pointset(ps, ("z",))
+        att = WindowAttention(channels=32, num_heads=4, patch_size=48,
+                              dtype=jnp.bfloat16)
+        pa = att.init(jax.random.PRNGKey(0), ps)
+        assert all(v.dtype == jnp.float32 for v in jax.tree.leaves(pa))
+        ya = att.apply(pa, ps)
+        assert ya.dtype == jnp.bfloat16
+
+        # fp32 island: the masked LN keeps the input dtype but its stats
+        # are f32 — a bf16 input with large magnitudes must not overflow
+        big = (jnp.full((1, 4, 32), 3e4) +
+               jnp.arange(32.0)).astype(jnp.bfloat16)
+        out = masked_layer_norm(big)
+        assert out.dtype == jnp.bfloat16
+        assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
+
+        # the image encoder's final norm returns f32 (feeds the f32 lift)
+        enc = DinoEncoder("tiny_test", dtype=jnp.bfloat16)
+        img = jnp.ones((1, 32, 32, 3), jnp.float32)
+        pe = enc.init(jax.random.PRNGKey(0), img)
+        tokens = enc.apply(pe, img)
+        assert tokens.dtype == jnp.float32

@@ -196,3 +196,53 @@ class Test2DGSTraining:
         assert np.isfinite(float(stats["loss"]))
         assert np.isfinite(float(stats["grad_norm"]))
         assert float(stats["grad_norm"]) > 0
+
+
+class TestStartFineSwitch:
+    def test_coarse_phase_step_freezes_fine_params(self):
+        """start_fine >= 0 runs a with_fine=False step until the switch:
+        no fine losses, and the untouched fine-stage params must not decay
+        (reference: Lightning DDP(find_unused_parameters) + torch AdamW
+        skip grad-less params; VERDICT r1 item 7)."""
+        from generativedensification_tpu.data.synthetic import make_probe_batch
+        from generativedensification_tpu.train.loss import Losses
+        from generativedensification_tpu.train.optim import make_optimizer
+        from generativedensification_tpu.train.state import create_train_state
+        from generativedensification_tpu.train.step import make_train_step
+
+        cfg = NetworkConfig(
+            n_views=2, encoder_backbone="tiny_test", n_groups=(4,),
+            n_offset_groups=8, num_layers=1, num_heads=4, view_embed_dim=8,
+            embedding_dim=32, vol_feat_reso=4, vol_embedding_reso=8,
+            vol_embedding_out_dim=16, k_num=96, dec_depths=(1, 1),
+            dec_channels=(32, 48), dec_num_head=(4, 6),
+            dec_patch_size=(48, 48), drop_path=0.0, non_leaf_ratio=(0.75,),
+            upscale_factor=(2, 4), mask_pool=192, tile_size=16, max_tiles=4,
+            max_per_tile=256, raster_chunk=16, vmap_renders=True,
+        )
+        net = Network(cfg)
+        batch = make_probe_batch(B=1, V_total=4, H=64, W=64, n_views=2)
+        params = net.init(
+            {"params": jax.random.PRNGKey(0)}, batch, with_fine=True
+        )
+        tx, _ = make_optimizer(params, accumulate=1, warmup_iters=1)
+        state = create_train_state(params, tx)
+        step_coarse = make_train_step(net, tx, Losses(ssim_levels=2),
+                                      with_fine=False, donate=False)
+        new_state, stats = step_coarse(state, batch)
+        assert "psnr_fine" not in stats
+        # fine-stage (densifier) params bitwise untouched
+        for k in ("dec0", "dec1"):
+            before = jax.tree.leaves(params["params"][k])
+            after = jax.tree.leaves(new_state.params["params"][k])
+            for a, b in zip(before, after):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # coarse-path params did move
+        moved = any(
+            np.any(np.asarray(a) != np.asarray(b))
+            for a, b in zip(
+                jax.tree.leaves(params["params"]["vol_decoder"]),
+                jax.tree.leaves(new_state.params["params"]["vol_decoder"]),
+            )
+        )
+        assert moved
