@@ -54,7 +54,8 @@ def main():
 
     RASTER_KW = dict(
         sh_degree=1,
-        tile_size=32,
+        tile_size=16,   # 16px tiles quarter the per-pair pixel work for
+                        # ~1.5x the pairs — measured net win (PERF.md)
         max_tiles=4,
         max_per_tile=4096,
         chunk=32,

@@ -51,14 +51,17 @@ ALPHA_MIN = 1.0 / 255.0
 T_EPS = 1e-4
 SLAB_W = 16
 CHUNK = 128   # slots per DMA chunk; also the lane-alignment quantum
-NPIX = 1024   # 32x32 tile
+NPIX = 1024   # 32x32 tile (the surfel kernels' fixed tile; the 3DGS
+              # kernels below are parametric over ts in {16, 32} — 16px
+              # tiles quarter the per-pair pixel work for ~1.5x the pairs,
+              # a large net win when splats are small)
 
 # slab row indices (attribute-major layout)
 _X, _Y, _A, _B, _C, _OPA, _R, _G, _BL, _DEP, _VAL = range(11)
 
 
 def _pixel_rows(t, tiles_x: int, ts: int):
-    """(1, NPIX) f32 *tile-local* pixel coordinates + tile origin.
+    """(1, ts*ts) f32 *tile-local* pixel coordinates + tile origin.
 
     Local coordinates keep the quadratic-form matmul terms small (|v| < 32)
     so the f32 cancellation at the Gaussian center stays ~1e-6 — with
@@ -67,7 +70,7 @@ def _pixel_rows(t, tiles_x: int, ts: int):
     """
     ox = (t % tiles_x) * ts
     oy = (t // tiles_x) * ts
-    p = jax.lax.broadcasted_iota(jnp.int32, (1, NPIX), 1)
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, ts * ts), 1)
     X = (p % ts).astype(jnp.float32)
     Y = (p // ts).astype(jnp.float32)
     return X, Y, ox.astype(jnp.float32), oy.astype(jnp.float32)
@@ -120,8 +123,8 @@ def _alpha_matrix(A, AT, offset, count, basis8, ox, oy):
     opa_c = AT[:, _OPA:_OPA + 1]
     val_c = AT[:, _VAL:_VAL + 1]
     # full-width iota: (CHUNK, 1)-shaped iotas mis-lower on TPU (lane dim
-    # below the minimum tile), so build the live mask at (CHUNK, NPIX)
-    row_idx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, NPIX), 0)
+    # below the minimum tile), so build the live mask at power's full shape
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, power.shape, 0)
     pos = offset + row_idx
     live = ((pos >= 0) & (pos < count)).astype(jnp.float32)
 
@@ -135,10 +138,19 @@ def _alpha_matrix(A, AT, offset, count, basis8, ox, oy):
 
 
 def _color_lhs(A):
-    """(8, CHUNK) rows [r, g, b, depth, 0, 0, 0, 0]."""
+    """(8, CHUNK) rows [r, g, b, depth, 1, 0, 0, 0].
+
+    The ones row makes the forward's accumulation matmul also produce
+    Σ_k W_k per pixel for free.  W_k = a_k·T_exc_k·inc_k telescopes
+    (a·T_exc = T_exc - T_exc·(1-a), and ``inc`` is a per-pixel step
+    function since U is monotone decreasing), so Σ W = 1 - T_eff exactly —
+    replacing the forward's separate per-chunk log1p/exp T_eff chain.
+    The backward's ``contrib`` matmul shares this lhs; its gc4 row 4 is
+    zero, so the ones row contributes nothing there."""
+    ones = jnp.ones((1, A.shape[1]), jnp.float32)
     return jnp.concatenate(
         [A[_R:_R + 1], A[_G:_G + 1], A[_BL:_BL + 1], A[_DEP:_DEP + 1],
-         jnp.zeros((4, A.shape[1]), jnp.float32)],
+         ones, jnp.zeros((3, A.shape[1]), jnp.float32)],
         axis=0,
     )
 
@@ -157,31 +169,52 @@ def _cumsum0(x):
     return x
 
 
-def _transmittance(alpha, T_raw):
-    """Front-to-back transmittance quantities for one chunk, in log space.
+def _cumprod0_excl(x):
+    """Exclusive cumprod over axis 0 as a log2(CHUNK) shift-MULTIPLY ladder.
 
-    Serial semantics (bit-compatible up to ~1e-6 exp/log rounding):
+    Same tree as ``_cumsum0`` with (*, 1) instead of (+, 0).  Matches the
+    XLA path's ``jnp.cumprod`` semantics directly — no log/exp round trip
+    (the earlier log-space form cost two transcendentals per chunk; this
+    is 7 multiplies).  Underflow of long products flushes toward 0, which
+    only ever makes T_exc cross T_EPS a slot early at T ~ 1e-38."""
+    n = x.shape[0]
+    # shift down by one row for the exclusive form
+    x = jnp.concatenate([jnp.ones((1, x.shape[1]), x.dtype), x[:-1]], axis=0)
+    sh = 1
+    while sh < n:
+        x = x * jnp.concatenate(
+            [jnp.ones((sh, x.shape[1]), x.dtype), x[:-sh]], axis=0
+        )
+        sh *= 2
+    return x
+
+
+def _transmittance(alpha, T_raw):
+    """Front-to-back transmittance quantities for one chunk.
+
+    Serial semantics (bit-compatible up to f32 product-tree rounding):
       T_exc_k = T_raw * prod_{j<k} (1 - a_j)
       U_k = T_exc_k (1 - a_k);  inc_k = U_k >= T_EPS
       W_k = a_k T_exc_k inc_k
     Returns (W, T_exc, inc, T_raw_out) with T_raw_out = T_raw * prod(1-a).
     """
-    l = jnp.log1p(-alpha)                   # alpha <= ALPHA_MAX < 1
-    s_inc = _cumsum0(l)
-    T_exc = T_raw * jnp.exp(s_inc - l)
-    U = T_exc * (1.0 - alpha)
+    om = 1.0 - alpha
+    P_exc = _cumprod0_excl(om)
+    T_exc = T_raw * P_exc
+    U = T_exc * om
     inc = (U >= T_EPS).astype(jnp.float32)
     W = alpha * T_exc * inc
-    T_raw_out = T_raw * jnp.exp(s_inc[-1:])
+    T_raw_out = U[-1:]
     return W, T_exc, inc, T_raw_out
 
 
 def _fwd_kernel(
     starts_ref, counts_ref, slab_hbm,
-    c4_out, alpha_out, teff_out,
+    c4_out,
     buf, sem,
     *, tiles_x: int, ts: int,
 ):
+    npix = ts * ts
     t = pl.program_id(0)
     start = starts_ref[t]                 # sorted-order start (unaligned)
     head = jax.lax.rem(start, CHUNK)
@@ -204,10 +237,10 @@ def _fwd_kernel(
     def _():
         dma(0, 0).start()
 
-    ones_row = jnp.ones((1, NPIX), jnp.float32)
+    ones_row = jnp.ones((1, npix), jnp.float32)
 
     def chunk_body(state):
-        c, T_raw, T_eff, C4 = state
+        c, T_raw, C4 = state
 
         @pl.when(c + 1 < n_chunks)
         def _():
@@ -220,26 +253,24 @@ def _fwd_kernel(
         alpha = _alpha_matrix(A, AT, c * CHUNK - head, count, basis8, ox, oy)
 
         W, T_exc, inc, T_raw = _transmittance(alpha, T_raw)
-        # effective transmittance excludes early-terminated contributions
-        T_eff = T_eff * jnp.exp(
-            jnp.sum(jnp.log1p(-alpha * inc), axis=0, keepdims=True)
-        )
 
         C4 = C4 + jax.lax.dot_general(
             _color_lhs(A), W,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        )  # (8, NPIX): rows r, g, b, depth
-        return (c + 1, T_raw, T_eff, C4)
+        )  # (8, npix): rows r, g, b, depth, Σ W (= 1 - T_eff, see
+        #    _color_lhs — the separate per-chunk log1p/exp T_eff chain
+        #    telescopes away)
+        return (c + 1, T_raw, C4)
 
     def cond(state):
         c, T_raw = state[0], state[1]
         return (c < n_chunks) & (jnp.max(T_raw) >= T_EPS)
 
-    c, T_raw, T_eff, C4 = jax.lax.while_loop(
+    c, T_raw, C4 = jax.lax.while_loop(
         cond, chunk_body,
-        (0, ones_row, ones_row, jnp.zeros((8, NPIX), jnp.float32)),
+        (0, ones_row, jnp.zeros((8, npix), jnp.float32)),
     )
 
     @pl.when(c < n_chunks)
@@ -247,8 +278,6 @@ def _fwd_kernel(
         dma(c % 2, c).wait()
 
     c4_out[0] = C4
-    alpha_out[0] = 1.0 - T_eff
-    teff_out[0] = T_eff
 
 
 def pallas_composite_fwd(slab, tile_starts, tile_counts, tiles_x, tiles_y,
@@ -259,45 +288,36 @@ def pallas_composite_fwd(slab, tile_starts, tile_counts, tiles_x, tiles_y,
     tile DMAs from the aligned-down offset and masks the head rows, so no
     aligned re-gather of the slab is ever materialized (a 1M-slot gather
     costs ~6.5ms on XLA whatever the layout).
-    Returns (Cr, Cg, Cb, alpha, depth, T_eff), each (num_tiles, 8, 128).
+    Returns (Cr, Cg, Cb, alpha, depth, T_eff), each (num_tiles, npix).
     """
-    assert tile_size == 32, "pallas path is specialized to 32px tiles"
+    assert tile_size in (16, 32), "pallas path supports 16/32px tiles"
+    npix = tile_size * tile_size
     num_tiles = tiles_x * tiles_y
     slab_t = slab  # (SLAB_W, P_pad) attribute-major, CHUNK-overrun padded
 
-    out_shape = [
-        jax.ShapeDtypeStruct((num_tiles, 8, NPIX), jnp.float32),
-        jax.ShapeDtypeStruct((num_tiles, 1, NPIX), jnp.float32),
-        jax.ShapeDtypeStruct((num_tiles, 1, NPIX), jnp.float32),
-    ]
+    out_shape = jax.ShapeDtypeStruct((num_tiles, 8, npix), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_specs=[
-            pl.BlockSpec((1, 8, NPIX), lambda t, *p: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, NPIX), lambda t, *p: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, NPIX), lambda t, *p: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=pl.BlockSpec((1, 8, npix), lambda t, *p: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2 * SLAB_W, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(_fwd_kernel, tiles_x=tiles_x, ts=tile_size)
-    C4, alpha, teff = pl.pallas_call(
+    C4 = pl.pallas_call(
         kernel,
         out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=_interpret(),
     )(tile_starts, tile_counts, slab_t)
-    r8 = lambda x: x.reshape(num_tiles, 8, 128)
+    wsum = C4[:, 4]                       # Σ W = 1 - T_eff (see _color_lhs)
     return (
-        r8(C4[:, 0]), r8(C4[:, 1]), r8(C4[:, 2]),
-        r8(alpha[:, 0]), r8(C4[:, 3]), r8(teff[:, 0]),
+        C4[:, 0], C4[:, 1], C4[:, 2],
+        wsum, C4[:, 3], 1.0 - wsum,
     )
 
 
@@ -380,6 +400,7 @@ def _bwd_kernel(
     buf, gbuf, sem, gsem,
     *, tiles_x: int, ts: int,
 ):
+    npix = ts * ts
     t = pl.program_id(0)
     start = starts_ref[t]                 # sorted-order start (unaligned)
     head = jax.lax.rem(start, CHUNK)
@@ -390,9 +411,9 @@ def _bwd_kernel(
     basis8 = _basis8(X, Y)
     n_chunks = pl.cdiv(head + count, CHUNK)
 
-    gC4 = gc4_in[0]          # (8, NPIX): rows gCr, gCg, gCb, gD, 0...
-    G = G_in[0]              # (1, NPIX)
-    gTf = gTf_in[0]          # (1, NPIX)
+    gC4 = gc4_in[0]          # (8, npix): rows gCr, gCg, gCb, gD, 0...
+    G = G_in[0]              # (1, npix)
+    gTf = gTf_in[0]          # (1, npix)
 
     def dma_in(slot, c):
         off = pl.multiple_of(base + c * CHUNK, CHUNK)
@@ -416,8 +437,8 @@ def _bwd_kernel(
     def _():
         dma_in(0, 0).start()
 
-    ones_row = jnp.ones((1, NPIX), jnp.float32)
-    zeros_row = jnp.zeros((1, NPIX), jnp.float32)
+    ones_row = jnp.ones((1, npix), jnp.float32)
+    zeros_row = jnp.zeros((1, npix), jnp.float32)
 
     def chunk_body(state):
         c, T_raw, prefix = state
@@ -464,10 +485,10 @@ def _bwd_kernel(
         gx_px = g_power * (a_c * dx + b_c * dy)
         gy_px = g_power * (c_c * dy + b_c * dx)
 
-        # NOTE: expressing these reductions as two MXU moment matmuls
-        # (g_power @ basis8ᵀ, W @ gC4ᵀ) was measured SLOWER (+3ms/render:
-        # contracting the 1024-lane NPIX dim forces operand relayouts);
-        # plain VPU lane reductions win here.
+        # NOTE: expressing these reductions as MXU moment matmuls
+        # (g_power @ momentsᵀ, W @ gC4ᵀ) was measured SLOWER at both tile
+        # sizes (+3ms/render at ts=32: contracting the npix lane dim
+        # forces operand relayouts); plain VPU lane reductions win here.
         rsum = lambda v: jnp.sum(v, axis=1, keepdims=True)   # (CHUNK, 1)
         gradT = jnp.concatenate(
             [
@@ -539,7 +560,8 @@ def pallas_composite_bwd(
     point keep zeros (the grad output is aliased to a zero buffer).
     ``gA`` is pre-folded into ``gTf`` by the caller.
     """
-    assert tile_size == 32
+    assert tile_size in (16, 32)
+    npix = tile_size * tile_size
     num_tiles = tiles_x * tiles_y
     slab_t = slab  # (SLAB_W, P_pad) attribute-major sorted-order table
     zeros_grad = jnp.zeros((SLAB_W, m_out), jnp.float32)
@@ -549,21 +571,21 @@ def pallas_composite_bwd(
         [
             gc_tiled[..., 0][:, None], gc_tiled[..., 1][:, None],
             gc_tiled[..., 2][:, None], gD_tiled[:, None],
-            jnp.zeros((num_tiles, 4, NPIX), jnp.float32),
+            jnp.zeros((num_tiles, 4, npix), jnp.float32),
         ],
         axis=1,
-    )  # (num_tiles, 8, NPIX)
+    )  # (num_tiles, 8, npix)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((1, 8, NPIX), lambda t, *p: (t, 0, 0),
+            pl.BlockSpec((1, 8, npix), lambda t, *p: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, NPIX), lambda t, *p: (t, 0, 0),
+            pl.BlockSpec((1, 1, npix), lambda t, *p: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, NPIX), lambda t, *p: (t, 0, 0),
+            pl.BlockSpec((1, 1, npix), lambda t, *p: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
@@ -586,8 +608,8 @@ def pallas_composite_bwd(
     )(
         tile_starts, tile_counts, astarts, slab_t,
         gc4,
-        G_tiled.reshape(num_tiles, 1, NPIX),
-        gTf_tiled.reshape(num_tiles, 1, NPIX),
+        G_tiled.reshape(num_tiles, 1, npix),
+        gTf_tiled.reshape(num_tiles, 1, npix),
         zeros_grad,
     )
     return grad_t

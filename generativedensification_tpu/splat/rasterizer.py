@@ -28,24 +28,24 @@ from .projection import project_gaussians
 def _resolve_backend(backend: str, tile_size: int) -> str:
     """Resolve the compositing backend; loud about silent degradation.
 
-    The Pallas kernels hardwire 32x32 tiles (NPIX=1024 lanes); any other
-    tile size must run the XLA path.  On TPU with ``auto`` that fallback is
-    a large perf cliff, so it warns at trace time (VERDICT r1 weak #5).
+    The Pallas kernels support 16x16 and 32x32 tiles; any other tile size
+    must run the XLA path.  On TPU with ``auto`` that fallback is a large
+    perf cliff, so it warns at trace time (VERDICT r1 weak #5).
     """
-    if backend == "pallas" and tile_size != 32:
+    if backend == "pallas" and tile_size not in (16, 32):
         raise ValueError(
-            f"backend='pallas' requires tile_size=32 (got {tile_size}); "
-            "the kernels are specialized to 1024-pixel tiles"
+            f"backend='pallas' requires tile_size in (16, 32) "
+            f"(got {tile_size})"
         )
     if backend == "auto":
         on_tpu = jax.default_backend() == "tpu"
-        backend = "pallas" if (on_tpu and tile_size == 32) else "xla"
+        backend = "pallas" if (on_tpu and tile_size in (16, 32)) else "xla"
         if on_tpu and backend == "xla":
             import warnings
 
             warnings.warn(
-                f"tile_size={tile_size} != 32: falling back to the XLA "
-                "compositing path on TPU (~10x slower than Pallas)",
+                f"tile_size={tile_size} not in (16, 32): falling back to "
+                "the XLA compositing path on TPU (~10x slower than Pallas)",
                 stacklevel=3,
             )
     return backend
@@ -129,9 +129,18 @@ def rasterize(
     # masking is needed here; opacity is zeroed for numerical hygiene only
     opacity_eff = jnp.where(proj.valid, proj.opacity, 0.0)
 
+    # the per-tile slot cap is a shared SEMANTIC, not a backend detail:
+    # clamp counts once so both compositing backends composite the same
+    # front-most max_per_tile slots per tile (the XLA path's static chunk
+    # loop truncates there anyway; the Pallas kernels' dynamic trip count
+    # would otherwise keep going — a measured 1e-3-level backend grad
+    # divergence when a tile overflows the cap).  Truncation is surfaced
+    # in ``overflow`` like every other static-budget drop.
+    tile_counts = jnp.minimum(bins.tile_counts, max_per_tile)
+    cap_overflow = jnp.sum(bins.tile_counts - tile_counts).astype(jnp.int32)
     bins_arrays = (bins.sorted_ids, bins.sorted_o, bins.sorted_valid,
                    bins.sorted_rank, bins.depth_order,
-                   bins.tile_starts, bins.tile_counts)
+                   bins.tile_starts, tile_counts)
     sel_abs = None
     if sel_gt is not None:
         image, alpha, depth, sel_abs = composite_tiles_sel(
@@ -173,7 +182,7 @@ def rasterize(
         alpha=alpha,
         depth=depth,
         radii=proj.radius,
-        overflow=bins.overflow,
+        overflow=bins.overflow + cap_overflow,
         sel_abs=sel_abs,
     )
 

@@ -8,13 +8,12 @@ import pytest
 
 from generativedensification_tpu.splat.composite import composite_tiles
 
-TS = 32
-TILES = 2  # 2x2 tiles = 64x64 image
+TILES = 2  # 2x2 tiles; image is (2*ts)² — kernels support ts in {16, 32}
 N = 96     # gaussians
 P = 192    # slots
 
 
-def _data(seed=0):
+def _data(seed=0, ts=32):
     rng = np.random.default_rng(seed)
     counts = jnp.asarray([70, 50, 0, 60], jnp.int32)
     starts = jnp.asarray([0, 70, 120, 120], jnp.int32)
@@ -25,7 +24,7 @@ def _data(seed=0):
     valid = np.zeros(P, bool)
     for s, c in zip(np.asarray(starts), np.asarray(counts)):
         valid[s:s + c] = True
-    xy = jnp.asarray(rng.uniform(0, 64, (N, 2)), jnp.float32)
+    xy = jnp.asarray(rng.uniform(0, 2 * ts, (N, 2)), jnp.float32)
     conic = jnp.tile(jnp.asarray([[0.08, 0.01, 0.06]], jnp.float32), (N, 1))
     color = jnp.asarray(rng.uniform(0, 1, (N, 3)), jnp.float32)
     opa = jnp.asarray(rng.uniform(0.2, 0.95, N), jnp.float32)
@@ -40,34 +39,38 @@ def _data(seed=0):
     )
 
 
-def _run(backend, data):
+def _run(backend, data, ts=32):
     xy, conic, color, opa, depth, bg, bins = data
     return composite_tiles(
         xy, jnp.zeros_like(xy), conic, color, opa, depth, bg, bins,
-        TILES, TILES, TS, 128, 32, backend,
+        TILES, TILES, ts, 128, 32, backend,
     )
 
 
 class TestPallasParity:
-    def test_forward_matches_xla(self):
-        data = _data()
-        ox = _run("xla", data)
-        op = _run("pallas", data)
+    @pytest.mark.parametrize("ts", [16, 32])
+    def test_forward_matches_xla(self, ts):
+        data = _data(ts=ts)
+        ox = _run("xla", data, ts)
+        op = _run("pallas", data, ts)
         for a, b, name in zip(ox, op, ["image", "alpha", "depth"]):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=2e-4, err_msg=name
             )
 
-    def test_gradients_match_xla(self):
-        data = _data(seed=3)
+    @pytest.mark.parametrize("ts", [16, 32])
+    def test_gradients_match_xla(self, ts):
+        data = _data(seed=3, ts=ts)
         xy, conic, color, opa, depth, bg, bins = data
         rng = np.random.default_rng(1)
-        w = jnp.asarray(rng.normal(size=(64, 64, 3)), jnp.float32)
+        w = jnp.asarray(
+            rng.normal(size=(2 * ts, 2 * ts, 3)), jnp.float32
+        )
 
         def loss(be, xy, xy_abs, conic, color, opa, depth):
             img, alpha, dep = composite_tiles(
                 xy, xy_abs, conic, color, opa, depth, bg, bins,
-                TILES, TILES, TS, 128, 32, be,
+                TILES, TILES, ts, 128, 32, be,
             )
             return jnp.sum(img * w) + 0.2 * jnp.sum(alpha) + 0.1 * jnp.sum(dep)
 
