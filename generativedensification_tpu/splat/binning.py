@@ -63,6 +63,7 @@ def bin_gaussians(
     tile_size: int = 32,
     max_tiles: int = 16,
     max_pairs: int | None = None,
+    enum_tiles: int | None = None,
 ) -> TileBins:
     """Bin one view's projected Gaussians into per-tile depth-ordered slabs.
 
@@ -72,10 +73,23 @@ def bin_gaussians(
     grad slab) scales with it instead of the N*max_tiles worst case.
     Live pairs beyond the budget are dropped back-of-the-depth-order and
     counted in ``overflow``.
+
+    Ellipse-tile culling: the bounding-rect expansion (CUDA
+    duplicateWithKeys keeps every rect tile) is refined with a SAFE
+    analytic bound — a (gaussian, tile) pair is culled only when
+    ``max_px alpha < ALPHA_MIN`` is provable over the tile, in which case
+    the compositor zeroes that pair's every pixel (and its gradient)
+    anyway, so culling is output- and gradient-exact while shrinking all
+    slot-space costs.  ``enum_tiles`` (default ``max(9, max_tiles)``) rect
+    tiles are enumerated and the surviving tiles compacted into the
+    ``max_tiles`` slot budget, so the budget is spent on tiles the ellipse
+    actually touches.
     """
     xy = jax.lax.stop_gradient(proj.xy)
     radius = jax.lax.stop_gradient(proj.radius)
     depth = jax.lax.stop_gradient(proj.depth)
+    conic = jax.lax.stop_gradient(proj.conic)
+    opacity = jax.lax.stop_gradient(proj.opacity)
     valid = proj.valid
 
     N = xy.shape[0]
@@ -104,15 +118,72 @@ def bin_gaussians(
     rect_w = jnp.maximum(rmax_x - rmin_x, 0)
     rect_h = jnp.maximum(rmax_y - rmin_y, 0)
     n_cover = jnp.where(valid, rect_w * rect_h, 0)       # (N,)
-    overflow = jnp.sum(jnp.maximum(n_cover - max_tiles, 0)).astype(jnp.int32)
 
-    # slot expansion: (N, D) tile ids
-    d = jnp.arange(max_tiles, dtype=jnp.int32)[None, :]  # (1, D)
+    # enumerate E >= D rect tiles, cull non-touching ones, compact the
+    # survivors into the D = max_tiles slot budget
+    E = max(max_tiles, 9) if enum_tiles is None else max(enum_tiles, max_tiles)
+    e = jnp.arange(E, dtype=jnp.int32)[None, :]          # (1, E)
     safe_w = jnp.maximum(rect_w, 1)[:, None]
-    tile_x = rmin_x[:, None] + d % safe_w
-    tile_y = rmin_y[:, None] + d // safe_w
-    tile_id = tile_y * tiles_x + tile_x                  # (N, D)
-    slot_valid = (d < n_cover[:, None]) & valid[:, None]
+    tile_x = rmin_x[:, None] + e % safe_w
+    tile_y = rmin_y[:, None] + e // safe_w
+    in_rect = (e < n_cover[:, None]) & valid[:, None]    # (N, E)
+
+    # SAFE max-alpha-over-tile bound.  q(v) = 0.5 a vx² + b vx vy +
+    # 0.5 c vy² (the compositor's power is -q), M = [[a, b], [b, c]]:
+    #   q >= 0.5 λmin(M) |v|²          (circle bound, any v)
+    #   q >= 0.5 λmax(M) (v·u)²       (major-eigvec directional bound)
+    # with |v| >= the Euclidean distance from the Gaussian center to the
+    # tile's pixel-center rect and |v·u| >= the rect's support distance
+    # along u.  Cull when opa·exp(-bound) < ALPHA_MIN — then every pixel
+    # of the pair fails the compositor's own alpha >= ALPHA_MIN test.
+    ca, cb, cc = conic[:, 0], conic[:, 1], conic[:, 2]
+    m = 0.5 * (ca + cc)
+    r = jnp.sqrt(jnp.maximum((0.5 * (ca - cc)) ** 2 + cb * cb, 0.0))
+    lam_min = jnp.maximum(m - r, 0.0)
+    lam_max = m + r
+    # major eigenvector: pick the better-conditioned of the two columns
+    v1x, v1y = cb, lam_max - ca
+    v2x, v2y = lam_max - cc, cb
+    n1 = v1x * v1x + v1y * v1y
+    n2 = v2x * v2x + v2y * v2y
+    use1 = n1 >= n2
+    ux = jnp.where(use1, v1x, v2x)
+    uy = jnp.where(use1, v1y, v2y)
+    un = jnp.sqrt(jnp.maximum(n1, n2))
+    degen = un < 1e-20                                   # isotropic: any u
+    ux = jnp.where(degen, 1.0, ux / jnp.where(degen, 1.0, un))
+    uy = jnp.where(degen, 0.0, uy / jnp.where(degen, 1.0, un))
+    tau = jnp.log(jnp.maximum(opacity, 1e-12) * 255.0)   # ALPHA_MIN = 1/255
+
+    half = (tile_size - 1) * 0.5                         # pixel-center rect
+    tcx = tile_x.astype(jnp.float32) * tile_size + half  # (N, E)
+    tcy = tile_y.astype(jnp.float32) * tile_size + half
+    cx = xy[:, 0:1] - tcx
+    cy = xy[:, 1:2] - tcy
+    dxr = jnp.maximum(jnp.abs(cx) - half, 0.0)
+    dyr = jnp.maximum(jnp.abs(cy) - half, 0.0)
+    bound = 0.5 * lam_min[:, None] * (dxr * dxr + dyr * dyr)
+    du = jnp.maximum(
+        jnp.abs(cx * ux[:, None] + cy * uy[:, None])
+        - half * (jnp.abs(ux) + jnp.abs(uy))[:, None],
+        0.0,
+    )
+    bound = jnp.maximum(bound, 0.5 * lam_max[:, None] * du * du)
+    touch = in_rect & (bound <= tau[:, None])            # (N, E)
+
+    # stable compaction: touching tiles first (rect order preserved)
+    ckey = jnp.where(touch, e, E + e)
+    ckey, tile_id_e = jax.lax.sort(
+        (ckey, tile_y * tiles_x + tile_x), dimension=1, num_keys=1
+    )
+    d = jnp.arange(max_tiles, dtype=jnp.int32)[None, :]  # (1, D)
+    tile_id = tile_id_e[:, :max_tiles]                   # (N, D)
+    slot_valid = ckey[:, :max_tiles] < E
+    n_touch = jnp.sum(touch.astype(jnp.int32), axis=1)   # (N,)
+    overflow = (
+        jnp.sum(jnp.maximum(n_touch - max_tiles, 0))
+        + jnp.sum(jnp.maximum(n_cover - E, 0))
+    ).astype(jnp.int32)
 
     if max_pairs is not None and max_pairs < N * max_tiles:
         # depth-principled budget: drop the pairs of the globally FARTHEST

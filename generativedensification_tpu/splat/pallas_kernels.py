@@ -155,6 +155,29 @@ def _color_lhs(A):
     )
 
 
+def _tril(n, strict):
+    """(n, n) f32 lower-triangular mask (strict or inclusive), for
+    running a CHUNK-axis scan as one triangular matmul (``_mm``).
+
+    MEASURED: at the 3DGS kernels' (CHUNK, 256) chunk shapes the matmul
+    scan is a REGRESSION (24.4 -> 27.0ms/render: the MXU op forces
+    operand relayouts that cost more than the ladder's VPU passes), so
+    the 3DGS kernels use the shift ladders below; kept for the surfel
+    kernels' (CHUNK, 1024) shapes where the amortization differs."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return ((j < i) if strict else (j <= i)).astype(jnp.float32)
+
+
+def _mm(L, x):
+    return jax.lax.dot_general(
+        L, x,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def _cumsum0(x):
     """Inclusive cumsum over axis 0 (CHUNK) as a log2(CHUNK) shift-add
     ladder — exact f32, ~7 adds, no serial dependency chain of length
@@ -189,7 +212,7 @@ def _cumprod0_excl(x):
     return x
 
 
-def _transmittance(alpha, T_raw):
+def _transmittance(alpha, T_raw, Ls=None):
     """Front-to-back transmittance quantities for one chunk.
 
     Serial semantics (bit-compatible up to f32 product-tree rounding):
@@ -197,9 +220,15 @@ def _transmittance(alpha, T_raw):
       U_k = T_exc_k (1 - a_k);  inc_k = U_k >= T_EPS
       W_k = a_k T_exc_k inc_k
     Returns (W, T_exc, inc, T_raw_out) with T_raw_out = T_raw * prod(1-a).
+
+    ``Ls=None`` (the 3DGS kernels): shift-multiply ladder.  With a strict
+    lower-tri ``Ls``: exp(Ls @ log1p(-alpha)) on the MXU (see ``_tril``).
     """
     om = 1.0 - alpha
-    P_exc = _cumprod0_excl(om)
+    if Ls is None:
+        P_exc = _cumprod0_excl(om)
+    else:
+        P_exc = jnp.exp(_mm(Ls, jnp.log1p(-alpha)))
     T_exc = T_raw * P_exc
     U = T_exc * om
     inc = (U >= T_EPS).astype(jnp.float32)
@@ -482,8 +511,14 @@ def _bwd_kernel(
         opa_c = AT[:, _OPA:_OPA + 1]
         dx = X - x_c
         dy = Y - y_c
-        gx_px = g_power * (a_c * dx + b_c * dy)
-        gy_px = g_power * (c_c * dy + b_c * dx)
+        # shared products: the screen-xy grads and the three conic moment
+        # sums all derive from g_power·dx and g_power·dy (constant scales
+        # fold into the post-reduction (CHUNK, 1) columns, where they are
+        # free)
+        t1 = g_power * dx
+        t2 = g_power * dy
+        gx_px = a_c * t1 + b_c * t2
+        gy_px = c_c * t2 + b_c * t1
 
         # NOTE: expressing these reductions as MXU moment matmuls
         # (g_power @ momentsᵀ, W @ gC4ᵀ) was measured SLOWER at both tile
@@ -494,9 +529,9 @@ def _bwd_kernel(
             [
                 rsum(gx_px),
                 rsum(gy_px),
-                rsum(g_power * (-0.5) * dx * dx),
-                rsum(g_power * (-1.0) * dx * dy),
-                rsum(g_power * (-0.5) * dy * dy),
+                -0.5 * rsum(t1 * dx),
+                -rsum(t1 * dy),
+                -0.5 * rsum(t2 * dy),
                 rsum(g_power) / jnp.maximum(opa_c, 1e-12),
                 rsum(W * gC4[0:1]),
                 rsum(W * gC4[1:2]),

@@ -42,9 +42,10 @@ from .pallas_kernels import (
     CHUNK,
     NPIX,
     T_EPS,
-    _cumsum0,
     _interpret,
+    _mm,
     _transmittance,
+    _tril,
 )
 
 ALPHA_MAX = 0.99
@@ -155,6 +156,8 @@ def _fwd_kernel(
 
     ones = jnp.ones((1, NPIX), jnp.float32)
     zeros = jnp.zeros((1, NPIX), jnp.float32)
+    Li = _tril(CHUNK, strict=False)
+    Ls = _tril(CHUNK, strict=True)
 
     def chunk_body(state):
         c, T_raw, T_eff, C8, Dexp, Dmed, m1, m2, dist = state
@@ -171,15 +174,15 @@ def _fwd_kernel(
             AT, Xl, Yl, ox, oy, c * CHUNK - head, count, znear, zfar
         )
 
-        W, T_exc, inc, T_raw_new = _transmittance(alpha, T_raw)
+        W, T_exc, inc, T_raw_new = _transmittance(alpha, T_raw, Ls)
         T_eff = T_eff * jnp.exp(
             jnp.sum(jnp.log1p(-alpha * inc), axis=0, keepdims=True)
         )
 
         wm = W * m
         wm2 = wm * m
-        m1_pref = m1 + _cumsum0(wm) - wm          # exclusive + carry
-        m2_pref = m2 + _cumsum0(wm2) - wm2
+        m1_pref = m1 + _mm(Li, wm) - wm          # exclusive + carry
+        m2_pref = m2 + _mm(Li, wm2) - wm2
         a_pref = 1.0 - T_exc
         dist_add = W * (m * m * a_pref + m2_pref - 2.0 * m * m1_pref)
 
@@ -379,6 +382,8 @@ def _bwd_kernel(
 
     ones = jnp.ones((1, NPIX), jnp.float32)
     zeros = jnp.zeros((1, NPIX), jnp.float32)
+    Li = _tril(CHUNK, strict=False)
+    Ls = _tril(CHUNK, strict=True)
 
     def chunk_body(state):
         c, T_raw, prefix, m1, m2 = state
@@ -396,11 +401,11 @@ def _bwd_kernel(
             AT, Xl, Yl, ox, oy, c * CHUNK - head, count, znear, zfar
         )
 
-        W, T_exc, inc, T_raw_new = _transmittance(alpha, T_raw)
+        W, T_exc, inc, T_raw_new = _transmittance(alpha, T_raw, Ls)
         wm = W * m
         wm2 = wm * m
-        m1_pref = m1 + _cumsum0(wm) - wm
-        m2_pref = m2 + _cumsum0(wm2) - wm2
+        m1_pref = m1 + _mm(Li, wm) - wm
+        m2_pref = m2 + _mm(Li, wm2) - wm2
         a_pref = 1.0 - T_exc
         d_i = m * m * a_pref + m2_pref - 2.0 * m * m1_pref
 
@@ -429,7 +434,7 @@ def _bwd_kernel(
         gz = W * gDexp + gm * dmdz + gDmed * crossed
 
         # alpha chain (suffix trick; prefix accumulates cw·w)
-        pref = prefix + _cumsum0(cw * W)
+        pref = prefix + _mm(Li, cw * W)
         suffix = G - pref
         inv_1ma = 1.0 / jnp.maximum(1.0 - alpha, 1.0 - ALPHA_MAX)
         inc_m = (T_exc * inc > 0.0).astype(jnp.float32)

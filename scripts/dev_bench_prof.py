@@ -23,6 +23,8 @@ gt = jnp.asarray(rng.uniform(size=(H, W, 3)), jnp.float32)
 
 KW = dict(sh_degree=1, tile_size=int(os.environ.get("TS", "32")),
           max_tiles=4, max_per_tile=4096, chunk=32)
+if os.environ.get("PAIRS"):
+    KW["max_pairs"] = int(os.environ["PAIRS"])
 
 def loss_fn(means, shs, opa_raw, scale_raw, quats):
     out = rasterize(means, shs, jax.nn.sigmoid(opa_raw), jnp.exp(scale_raw),

@@ -30,8 +30,8 @@ cfg = NetworkConfig(
     non_leaf_ratio=(0.8,),
     upscale_factor=(2, 4),
     mask_pool=int(os.environ.get("MASKPOOL", 49152)),
-    tile_size=32,
-    max_tiles=4,
+    tile_size=int(os.environ.get("TS", 32)),
+    max_tiles=int(os.environ.get("MT", 4)),
     max_per_tile=4096,
     raster_chunk=32,
     compute_dtype=os.environ.get("DTYPE", "float32"),
