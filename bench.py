@@ -54,8 +54,13 @@ def main():
 
     RASTER_KW = dict(
         sh_degree=1,
-        tile_size=16,   # 16px tiles quarter the per-pair pixel work for
-                        # ~1.5x the pairs — measured net win (PERF.md)
+        # 32px tiles: the bench splats reach r=13px, touching up to 9
+        # tiles at 16px (the 16px config needs max_tiles=9 to drop ZERO
+        # live pairs, and its slot-space costs outweigh the smaller
+        # per-pair pixel work — measured 48ms vs 29ms).  At 32px the
+        # screen rect never exceeds 2x2, so max_tiles=4 with the full
+        # rect enumerated is EXACT: overflow == 0 with no culling caveat.
+        tile_size=32,
         max_tiles=4,
         max_per_tile=4096,
         chunk=32,

@@ -115,6 +115,7 @@ BASE = {
         "tile_size": 32,
         "max_tiles": 4,                # slot budget per Gaussian
         "max_per_tile": 4096,
+        "enum_tiles": 0,               # >max_tiles: cull+compact window
         "raster_chunk": 32,
         "vmap_renders": False,         # vmap-over-B renders (CPU mesh/tests)
         "remat": True,

@@ -119,6 +119,9 @@ class NetworkConfig:
                          # this pipeline never cover more than 4 tiles at
                          # 32px (outputs carry an `overflow` counter)
     max_per_tile: int = 4096
+    enum_tiles: int = 0  # >max_tiles: enumerate+compact that many rect
+                         # tiles per gaussian before the slot budget
+                         # (binning.py culling; 0 = enumerate max_tiles)
     raster_chunk: int = 32
     white_bkgd: bool = True
     scene_size: float = 0.5
@@ -205,6 +208,7 @@ class NetworkConfig:
             tile_size=get(tpu, "tile_size", cls.tile_size),
             max_tiles=get(tpu, "max_tiles", cls.max_tiles),
             max_per_tile=get(tpu, "max_per_tile", cls.max_per_tile),
+            enum_tiles=get(tpu, "enum_tiles", cls.enum_tiles),
             compute_dtype=get(tpu, "compute_dtype", cls.compute_dtype),
             renderer=get(tpu, "renderer", cls.renderer),
             depth_ratio=get(tpu, "depth_ratio", cls.depth_ratio),
@@ -516,6 +520,7 @@ class Network(nn.Module):
                 backend=cfg.backend,
                 sel_gt=gt,
                 max_pairs=max_pairs,
+                enum_tiles=cfg.enum_tiles or None,
             )
 
         # UNROLLED over views, not vmapped: vmap batches the rasterizer's

@@ -161,9 +161,10 @@ def _tril(n, strict):
 
     MEASURED: at the 3DGS kernels' (CHUNK, 256) chunk shapes the matmul
     scan is a REGRESSION (24.4 -> 27.0ms/render: the MXU op forces
-    operand relayouts that cost more than the ladder's VPU passes), so
-    the 3DGS kernels use the shift ladders below; kept for the surfel
-    kernels' (CHUNK, 1024) shapes where the amortization differs."""
+    operand relayouts that cost more than the ladder's VPU passes), and
+    the surfel kernels' (CHUNK, 1024) HIGHEST-precision variants were the
+    dominant term of their 48ms backward — both now use the shift
+    ladders; kept only for ``_transmittance``'s optional Ls form."""
     i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
     return ((j < i) if strict else (j <= i)).astype(jnp.float32)

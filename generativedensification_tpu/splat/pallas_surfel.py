@@ -42,10 +42,9 @@ from .pallas_kernels import (
     CHUNK,
     NPIX,
     T_EPS,
+    _cumsum0,
     _interpret,
-    _mm,
     _transmittance,
-    _tril,
 )
 
 ALPHA_MAX = 0.99
@@ -115,12 +114,22 @@ def _chunk_geometry(AT, Xl, Yl, ox, oy, offset, count, znear, zfar):
     return alpha, sel3, crx, cry, rz, zhit, m, dmdz, dxl, dyl
 
 
-def _acc_lhs(A):
-    """(8, CHUNK) rows [r, g, b, nx, ny, nz, 0, 0]."""
+def _acc_lhs(A, with_ones=False):
+    """(8, CHUNK) rows [r, g, b, nx, ny, nz, 1?, 0].
+
+    The forward passes ``with_ones=True``: row 6 accumulates Σ_k W_k per
+    pixel for free in the same matmul, and ΣW telescopes to 1 - T_eff
+    exactly (see pallas_kernels._color_lhs) — deleting the forward's
+    separate per-chunk log1p/exp T_eff chain.  The backward's ``base_cw``
+    matmul keeps row 6 zero (its cotangent row is zero anyway)."""
+    filler = (
+        jnp.ones((1, A.shape[1]), jnp.float32) if with_ones
+        else jnp.zeros((1, A.shape[1]), jnp.float32)
+    )
     return jnp.concatenate(
         [A[_R:_R + 1], A[_G:_G + 1], A[_BL:_BL + 1],
          A[_NX:_NX + 1], A[_NY:_NY + 1], A[_NZ:_NZ + 1],
-         jnp.zeros((2, A.shape[1]), jnp.float32)],
+         filler, jnp.zeros((1, A.shape[1]), jnp.float32)],
         axis=0,
     )
 
@@ -156,11 +165,9 @@ def _fwd_kernel(
 
     ones = jnp.ones((1, NPIX), jnp.float32)
     zeros = jnp.zeros((1, NPIX), jnp.float32)
-    Li = _tril(CHUNK, strict=False)
-    Ls = _tril(CHUNK, strict=True)
 
     def chunk_body(state):
-        c, T_raw, T_eff, C8, Dexp, Dmed, m1, m2, dist = state
+        c, T_raw, C8, Dexp, Dmed, m1, m2, dist = state
 
         @pl.when(c + 1 < n_chunks)
         def _():
@@ -174,20 +181,22 @@ def _fwd_kernel(
             AT, Xl, Yl, ox, oy, c * CHUNK - head, count, znear, zfar
         )
 
-        W, T_exc, inc, T_raw_new = _transmittance(alpha, T_raw, Ls)
-        T_eff = T_eff * jnp.exp(
-            jnp.sum(jnp.log1p(-alpha * inc), axis=0, keepdims=True)
-        )
+        # shift-ladder transmittance + prefixes: the earlier triangular-
+        # matmul form (exp(Ls @ log1p) + three Li matmuls) costs five
+        # HIGHEST-precision (CHUNK,CHUNK)@(CHUNK,NPIX) MXU passes per
+        # chunk across fwd+bwd — measured the dominant term of the 48ms
+        # bwd at 512²/131k; the ladders are ~7 VPU ops each
+        W, T_exc, inc, T_raw_new = _transmittance(alpha, T_raw)
 
         wm = W * m
         wm2 = wm * m
-        m1_pref = m1 + _mm(Li, wm) - wm          # exclusive + carry
-        m2_pref = m2 + _mm(Li, wm2) - wm2
+        m1_pref = m1 + _cumsum0(wm) - wm         # exclusive + carry
+        m2_pref = m2 + _cumsum0(wm2) - wm2
         a_pref = 1.0 - T_exc
         dist_add = W * (m * m * a_pref + m2_pref - 2.0 * m * m1_pref)
 
         C8 = C8 + jax.lax.dot_general(
-            _acc_lhs(A), W,
+            _acc_lhs(A, with_ones=True), W,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
@@ -205,15 +214,15 @@ def _fwd_kernel(
         any_cross = jnp.sum(crossed, axis=0, keepdims=True) > 0.0
         Dmed = jnp.where((Dmed == 0.0) & any_cross, zmed, Dmed)
 
-        return (c + 1, T_raw_new, T_eff, C8, Dexp, Dmed, m1, m2, dist)
+        return (c + 1, T_raw_new, C8, Dexp, Dmed, m1, m2, dist)
 
     def cond(state):
         c, T_raw = state[0], state[1]
         return (c < n_chunks) & (jnp.max(T_raw) >= T_EPS)
 
-    c, T_raw, T_eff, C8, Dexp, Dmed, m1, m2, dist = jax.lax.while_loop(
+    c, T_raw, C8, Dexp, Dmed, m1, m2, dist = jax.lax.while_loop(
         cond, chunk_body,
-        (0, ones, ones, jnp.zeros((8, NPIX), jnp.float32),
+        (0, ones, jnp.zeros((8, NPIX), jnp.float32),
          zeros, zeros, zeros, zeros, zeros),
     )
 
@@ -222,8 +231,10 @@ def _fwd_kernel(
         dma(c % 2, c).wait()
 
     c8_out[0] = C8
+    # C8 row 6 accumulated sum-W = 1 - T_eff exactly (see _acc_lhs)
+    wsum = C8[6:7]
     ex_out[0] = jnp.concatenate(
-        [1.0 - T_eff, Dexp, Dmed, dist, m1, m2, T_eff, zeros], axis=0
+        [wsum, Dexp, Dmed, dist, m1, m2, 1.0 - wsum, zeros], axis=0
     )
 
 
@@ -382,8 +393,6 @@ def _bwd_kernel(
 
     ones = jnp.ones((1, NPIX), jnp.float32)
     zeros = jnp.zeros((1, NPIX), jnp.float32)
-    Li = _tril(CHUNK, strict=False)
-    Ls = _tril(CHUNK, strict=True)
 
     def chunk_body(state):
         c, T_raw, prefix, m1, m2 = state
@@ -401,11 +410,12 @@ def _bwd_kernel(
             AT, Xl, Yl, ox, oy, c * CHUNK - head, count, znear, zfar
         )
 
-        W, T_exc, inc, T_raw_new = _transmittance(alpha, T_raw, Ls)
+        # ladders, not triangular matmuls — see _fwd_kernel rationale
+        W, T_exc, inc, T_raw_new = _transmittance(alpha, T_raw)
         wm = W * m
         wm2 = wm * m
-        m1_pref = m1 + _mm(Li, wm) - wm
-        m2_pref = m2 + _mm(Li, wm2) - wm2
+        m1_pref = m1 + _cumsum0(wm) - wm
+        m2_pref = m2 + _cumsum0(wm2) - wm2
         a_pref = 1.0 - T_exc
         d_i = m * m * a_pref + m2_pref - 2.0 * m * m1_pref
 
@@ -434,7 +444,7 @@ def _bwd_kernel(
         gz = W * gDexp + gm * dmdz + gDmed * crossed
 
         # alpha chain (suffix trick; prefix accumulates cw·w)
-        pref = prefix + _mm(Li, cw * W)
+        pref = prefix + _cumsum0(cw * W)
         suffix = G - pref
         inv_1ma = 1.0 / jnp.maximum(1.0 - alpha, 1.0 - ALPHA_MAX)
         inc_m = (T_exc * inc > 0.0).astype(jnp.float32)

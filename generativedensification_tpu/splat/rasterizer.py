@@ -81,6 +81,7 @@ def rasterize(
     backend: str = "auto",
     sel_gt: jnp.ndarray | None = None,
     max_pairs: int | None = None,
+    enum_tiles: int | None = None,
 ) -> RasterizeOutput:
     """Differentiably splat N activated Gaussians into one camera.
 
@@ -116,7 +117,7 @@ def rasterize(
     )
     bins = bin_gaussians(
         proj, H, W, tile_size=tile_size, max_tiles=max_tiles,
-        max_pairs=max_pairs,
+        max_pairs=max_pairs, enum_tiles=enum_tiles,
     )
     n_slots = N * max_tiles
 

@@ -213,9 +213,14 @@ def rasterize_surfels(
         jnp.asarray(camera.zfar, jnp.float32),
         (bins.sorted_ids, bins.sorted_o, bins.sorted_valid,
          bins.sorted_rank, bins.depth_order,
-         bins.tile_starts, bins.tile_counts),
+         # clamp the per-tile cap into the counts once so both backends
+         # composite the same slots on overflow (rasterizer.py rationale)
+         bins.tile_starts, jnp.minimum(bins.tile_counts, max_per_tile)),
         bins.tiles_x, bins.tiles_y, tile_size, max_per_tile, chunk, backend,
     )
+    cap_overflow = jnp.sum(
+        jnp.maximum(bins.tile_counts - max_per_tile, 0)
+    ).astype(jnp.int32)
     image, alpha_map, Dexp, Dmed, Nacc, dist = maps
     return SurfelOutput(
         image=jnp.clip(image[:H, :W], 0.0, 1.0),
@@ -225,7 +230,7 @@ def rasterize_surfels(
         normal=Nacc[:H, :W],
         dist=dist[:H, :W],
         radii=radius,
-        overflow=bins.overflow,
+        overflow=bins.overflow + cap_overflow,
     )
 
 

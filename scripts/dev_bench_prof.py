@@ -22,7 +22,9 @@ bg = jnp.ones(3)
 gt = jnp.asarray(rng.uniform(size=(H, W, 3)), jnp.float32)
 
 KW = dict(sh_degree=1, tile_size=int(os.environ.get("TS", "32")),
-          max_tiles=4, max_per_tile=4096, chunk=32)
+          max_tiles=int(os.environ.get("MT", "4")),
+          enum_tiles=int(os.environ.get("ET", "9")),
+          max_per_tile=4096, chunk=32)
 if os.environ.get("PAIRS"):
     KW["max_pairs"] = int(os.environ["PAIRS"])
 

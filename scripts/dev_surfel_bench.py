@@ -1,5 +1,9 @@
-"""Surfel (2DGS) rasterizer perf on TPU: pallas vs xla backends."""
+"""Surfel (2DGS) rasterizer perf on TPU: pallas vs xla backends.
+
+env: BACKENDS=pallas (skip the slow XLA-scan rows), PARITY=0 (skip the
+full-res XLA parity grad — several minutes of extra compile)."""
 import sys; sys.path.insert(0, "/root/repo")
+import os
 import time
 import numpy as np, jax, jax.numpy as jnp
 from generativedensification_tpu.core.camera import Camera
@@ -24,7 +28,7 @@ def timeit(f, *a, iters=10):
     jax.block_until_ready(r)
     return (time.perf_counter() - t0) / iters * 1e3
 
-for be in ("pallas", "xla"):
+for be in os.environ.get("BACKENDS", "pallas,xla").split(","):
     fwd = jax.jit(lambda m, be=be: rasterize_surfels(
         m, shs, opa, scales, quats, cam, bg, 1, tile_size=32, max_tiles=4,
         max_per_tile=4096, chunk=32, backend=be).image)
@@ -36,7 +40,7 @@ for be in ("pallas", "xla"):
         return jnp.mean(o.image) + 0.01*jnp.sum(o.dist)/ (H*W) + 0.01*jnp.mean(o.normal)
     g = jax.jit(jax.grad(loss))
     print(f"{be} fwd+bwd:", timeit(g, means), "ms")
-    if be == "pallas":
+    if be == "pallas" and os.environ.get("PARITY", "1") == "1":
         gx = jax.jit(jax.grad(lambda m: loss(m, "xla")))(means)
         gp = g(means)
         rel = float(jnp.abs(gx - gp).max() / (jnp.abs(gx).max() + 1e-12))

@@ -224,11 +224,20 @@ class TestBinning:
             scales=scales, rotations=normalize_quat(quats),
         )
         full = bin_gaussians(proj, H, W, tile_size=TILE, max_tiles=64)
-        capped = bin_gaussians(proj, H, W, tile_size=TILE, max_tiles=1)
+        # with enum_tiles >= every rect, touch status is known for the
+        # whole rect and overflow is EXACTLY the dropped live pairs
+        capped = bin_gaussians(
+            proj, H, W, tile_size=TILE, max_tiles=1, enum_tiles=64
+        )
         assert int(full.overflow) == 0
         total_cover = int(np.asarray(full.tile_counts).sum())
         kept = int(np.asarray(capped.tile_counts).sum())
         assert int(capped.overflow) == total_cover - kept
+        # the default window (enum_tiles == max_tiles) cannot evaluate the
+        # cull bound beyond the window, so overflow is an upper bound
+        capped_d = bin_gaussians(proj, H, W, tile_size=TILE, max_tiles=1)
+        kept_d = int(np.asarray(capped_d.tile_counts).sum())
+        assert int(capped_d.overflow) >= total_cover - kept_d
 
 
 class TestGradients:
