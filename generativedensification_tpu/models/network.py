@@ -565,6 +565,7 @@ class Network(nn.Module):
                 max_per_tile=cfg.max_per_tile,
                 chunk=cfg.raster_chunk,
                 backend=cfg.backend,
+                enum_tiles=cfg.enum_tiles or None,
             )
             alpha = out.alpha
             exp_norm = out.depth_expected / jnp.maximum(alpha, 1e-6)

@@ -547,7 +547,32 @@ def _xla_bwd(saved, cot, tiles_x, tiles_y, ts, max_per_tile, chunk):
 # ---------------------------------------------------------------------------
 
 
-def _slab_maps(bins_arrays, num_tiles, n_slots=0):
+import os
+
+# Grad-slab -> per-Gaussian reduction strategy (A/B-able on-chip):
+#   gauss      — apos in (gaussian, slot) order; one (N·D)-row gather +
+#                Pallas slot-reduce (round-1 design)
+#   rank       — apos in (depth-rank, slot) order: the big gather walks
+#                each tile's aligned segment monotonically in rank (the
+#                36MB operand is past the ~8MB random-access wall, where
+#                monotone indices are ~2x cheaper — PERF.md), at the cost
+#                of one extra (N, 16) gather back to gaussian order
+#   *_dsum     — replace the slot-reduce kernel with D separate (N,)-index
+#                gathers summed elementwise (no RED_BN padding, no kernel)
+APOS_MODE = os.environ.get("GD_APOS_MODE", "gauss")
+
+
+def _rank_of_id(depth_order):
+    """(N,) gaussian -> global depth rank (inverse of ``depth_order``)."""
+    N = depth_order.shape[0]
+    return (
+        jnp.zeros((N,), jnp.int32)
+        .at[depth_order]
+        .set(jnp.arange(N, dtype=jnp.int32))
+    )
+
+
+def _slab_maps(bins_arrays, num_tiles, n_slots=0, rank_major=False):
     """Backward index maps: (astarts, apos (n_slots,)).
 
     ``apos[o]`` is the aligned grad-slab position of original slot ``o``
@@ -555,20 +580,65 @@ def _slab_maps(bins_arrays, num_tiles, n_slots=0):
     1-D int32 sorts/cummaxes — the many-row scatter/gather formulations
     all hit serialized or strided XLA paths (5-17ms at 1M slots).
 
+    ``rank_major=True`` re-keys the slots as (depth_rank, d) instead of
+    (gaussian, d): ``apos[r*D + d]`` then addresses the grad row of the
+    rank-r gaussian's slot d, making the downstream row gather walk each
+    tile's aligned segment monotonically (see ``APOS_MODE``).
+
     With a pair budget (P < n_slots) the sorted arrays cover only the
     surviving slots, so the inverse permutation is built by a 1-D int32
     scatter (≤1.5ms at 1M) with the dead sentinel M-1 elsewhere."""
-    ids, sorted_o, sorted_valid, _, _, tile_starts, tile_counts = bins_arrays
+    ids, sorted_o, sorted_valid, _, depth_order, tile_starts, tile_counts = (
+        bins_arrays
+    )
     P = ids.shape[0]
     astarts, pos = _aligned_layout(
         tile_starts, tile_counts, sorted_valid, P, num_tiles
     )
-    if n_slots in (0, P):
-        apos = jax.lax.sort_key_val(sorted_o, pos)[1]
+    key = sorted_o
+    if rank_major:
+        # (id, d) -> (rank[id], d): bijective, and well-defined for dead
+        # slots too (sorted_rank from the packed KEY is garbage there)
+        D = max(1, (n_slots if n_slots else P) // depth_order.shape[0])
+        key = jnp.take(_rank_of_id(depth_order), ids) * D + sorted_o % D
+    if n_slots in (0, P) and os.environ.get("GD_APOS_INV", "sort") == "sort":
+        apos = jax.lax.sort_key_val(key, pos)[1]
     else:
         M = _grad_slab_width(P, num_tiles)
-        apos = jnp.full((n_slots,), M - 1, jnp.int32).at[sorted_o].set(pos)
+        size = n_slots if n_slots not in (0, P) else P
+        apos = jnp.full((size,), M - 1, jnp.int32).at[key].set(pos)
     return astarts, apos
+
+
+def _reduce_grad_rows(grad_rows_al, apos, N, depth_order, width):
+    """Aligned grad rows (M, width) -> per-Gaussian (N, width) sums.
+
+    Strategy is picked by ``APOS_MODE`` (module doc above); ``apos`` must
+    have been built with the matching ``rank_major`` flag."""
+    from .pallas_kernels import RED_BN, pallas_reduce_slots
+
+    M = grad_rows_al.shape[0]
+    D_slots = apos.shape[0] // N
+    mode = APOS_MODE
+    if mode.endswith("_dsum"):
+        by_slot = apos.reshape(N, D_slots)
+        rows = jnp.take(grad_rows_al, by_slot[:, 0], axis=0, mode="clip")
+        for d in range(1, D_slots):
+            rows = rows + jnp.take(
+                grad_rows_al, by_slot[:, d], axis=0, mode="clip"
+            )
+        red = rows
+    else:
+        N_pad = -(-N // RED_BN) * RED_BN
+        if N_pad != N:
+            apos = jnp.concatenate(
+                [apos, jnp.full(((N_pad - N) * D_slots,), M - 1, jnp.int32)]
+            )
+        rows = jnp.take(grad_rows_al, apos, axis=0, mode="clip")
+        red = pallas_reduce_slots(rows, N_pad, D_slots, width=width)[:N]
+    if mode.startswith("rank"):
+        red = jnp.take(red, _rank_of_id(depth_order), axis=0)
+    return red
 
 
 # direct random-id gathers are fine while the attribute table stays small;
@@ -606,7 +676,10 @@ def _pallas_fwd(xy, conic, color, opacity, depth, bg, bins_arrays,
 
     ids, _, _, sorted_rank, depth_order, tile_starts, tile_counts = bins_arrays
     num_tiles = tiles_x * tiles_y
-    astarts, apos = _slab_maps(bins_arrays, num_tiles, n_slots)
+    astarts, apos = _slab_maps(
+        bins_arrays, num_tiles, n_slots,
+        rank_major=APOS_MODE.startswith("rank"),
+    )
     slab_t = _sorted_slab(
         xy, conic, color, opacity, depth, ids, depth_order, sorted_rank
     )
@@ -631,9 +704,7 @@ def _pallas_fwd(xy, conic, color, opacity, depth, bg, bins_arrays,
 
 
 def _pallas_bwd(saved, cot, tiles_x, tiles_y, ts, n_slots=0):
-    from .pallas_kernels import (
-        RED_BN, pallas_composite_bwd, pallas_reduce_slots,
-    )
+    from .pallas_kernels import pallas_composite_bwd
 
     xy, conic, color, opacity, depth, bg, bins_arrays, res = saved
     ids, _, _, sorted_rank, depth_order, tile_starts, tile_counts = bins_arrays
@@ -651,18 +722,11 @@ def _pallas_bwd(saved, cot, tiles_x, tiles_y, ts, n_slots=0):
     )  # (16, M) attribute-major
     # aligned grads -> per-Gaussian grads WITHOUT a row scatter (TPU row
     # scatters serialize, ~17ms at 1M slots): gather rows back into the
-    # original (N, D) slot-expansion order via the precomputed inverse
-    # map, then reduce the D slot axis in a Pallas kernel.  The ``.T`` is
+    # (N, D) slot-expansion order via the precomputed inverse map, then
+    # reduce the D slot axis (strategy per APOS_MODE).  The ``.T`` is
     # free: XLA's gather insists on a {0,1} (M, 16) operand, whose bytes
     # are exactly the kernel's attribute-major (16, M) output.
-    grad_rows_al = grad_al.T                               # (M, 16)
-    N = xy.shape[0]
-    D_slots = apos.shape[0] // N
-    N_pad = -(-N // RED_BN) * RED_BN
-    if N_pad != N:
-        apos = jnp.concatenate(
-            [apos, jnp.full(((N_pad - N) * D_slots,), M - 1, jnp.int32)]
-        )
-    rows = jnp.take(grad_rows_al, apos, axis=0, mode="clip")
-    grad_rows = pallas_reduce_slots(rows, N_pad, D_slots)[:N]
+    grad_rows = _reduce_grad_rows(
+        grad_al.T, apos, xy.shape[0], depth_order, width=grad_al.shape[0]
+    )
     return _grad_outputs(_unpack_grads(grad_rows), d_bg, bins_arrays)

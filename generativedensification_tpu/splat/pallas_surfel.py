@@ -521,8 +521,9 @@ def pallas_surfel_bwd(saved, cot, tiles_x, tiles_y, tile_size):
     """Hand-written backward: returns grads for (acr, bcr, ccr, det, xy,
     color, opacity, normal, bg) — the differentiable args of
     ``composite_surfels`` minus znear/zfar/bins (handled by the caller)."""
-    from .composite import _grad_slab_width, _slab_maps, _tile
-    from .pallas_kernels import RED_BN, pallas_reduce_slots
+    from .composite import (
+        APOS_MODE, _grad_slab_width, _reduce_grad_rows, _slab_maps, _tile,
+    )
 
     (acr, bcr, ccr, det, xy, color, opacity, normal, bg, znear, zfar,
      bins_arrays, res, out) = saved
@@ -567,7 +568,9 @@ def pallas_surfel_bwd(saved, cot, tiles_x, tiles_y, tile_size):
         axis=1,
     )  # (T, 8, npix)
 
-    astarts, apos = _slab_maps(bins_arrays, num_tiles)
+    astarts, apos = _slab_maps(
+        bins_arrays, num_tiles, rank_major=APOS_MODE.startswith("rank")
+    )
     M = _grad_slab_width(ids.shape[0], num_tiles)
     slab_t = _sorted_surfel_slab(
         acr, bcr, ccr, det, xy, color, opacity, normal,
@@ -609,16 +612,10 @@ def pallas_surfel_bwd(saved, cot, tiles_x, tiles_y, tile_size):
     )  # (SLAB_W2, M)
 
     # aligned grads -> per-surfel grads: free .T bitcast, apos row gather,
-    # Pallas slot-reduce (same rationale as the 3DGS path)
-    N = det.shape[0]
-    D_slots = apos.shape[0] // N
-    N_pad = -(-N // RED_BN) * RED_BN
-    if N_pad != N:
-        apos = jnp.concatenate(
-            [apos, jnp.full(((N_pad - N) * D_slots,), M - 1, jnp.int32)]
-        )
-    rows = jnp.take(grad_al.T, apos, axis=0, mode="clip")  # (P, 32)
-    g = pallas_reduce_slots(rows, N_pad, D_slots, width=SLAB_W2)[:N]
+    # slot reduce (strategy per composite.APOS_MODE, same as 3DGS path)
+    g = _reduce_grad_rows(
+        grad_al.T, apos, det.shape[0], depth_order, width=SLAB_W2
+    )
 
     d_acr = g[:, _AX:_AX + 3]
     d_bcr = g[:, _BX:_BX + 3]

@@ -186,8 +186,15 @@ def rasterize_surfels(
     max_per_tile: int = 4096,
     chunk: int = 32,
     backend: str = "auto",
+    enum_tiles: int | None = None,
 ) -> SurfelOutput:
-    """Differentiably splat N activated surfels into one camera."""
+    """Differentiably splat N activated surfels into one camera.
+
+    ``enum_tiles``: rect-tile enumeration window (see ``bin_gaussians``).
+    Surfels carry a zero conic, so the ellipse cull bound is 0 <= tau and
+    never fires — the window only controls how many rect tiles can be
+    binned per surfel before the ``max_tiles`` budget drops live pairs.
+    """
     H, W = camera.height, camera.width
     N = means3d.shape[0]
     max_per_tile = min(max_per_tile, N * max_tiles)
@@ -203,7 +210,10 @@ def rasterize_surfels(
         xy=xy, depth=depth, conic=jnp.zeros_like(n_view), color=color,
         opacity=opacities.astype(jnp.float32), radius=radius, valid=valid,
     )
-    bins = bin_gaussians(proj, H, W, tile_size=tile_size, max_tiles=max_tiles)
+    bins = bin_gaussians(
+        proj, H, W, tile_size=tile_size, max_tiles=max_tiles,
+        enum_tiles=enum_tiles,
+    )
 
     opacity_eff = jnp.where(valid, proj.opacity, 0.0)
     maps = composite_surfels(
