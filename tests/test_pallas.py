@@ -87,3 +87,49 @@ class TestPallasParity:
             )
         # AbsGS channel sanity: abs >= |signed|
         assert (np.asarray(gp[1]) + 1e-9 >= np.abs(np.asarray(gp[0])) - 1e-5).all()
+
+
+class TestGradReduceModes:
+    """Every APOS_MODE / APOS_INV strategy must produce identical grads
+    (they only reorder the aligned-grad-slab -> per-gaussian reduction)."""
+
+    @pytest.mark.parametrize(
+        "mode", ["rank", "gauss_dsum", "rank_dsum"]
+    )
+    def test_modes_match_default(self, mode, monkeypatch):
+        from generativedensification_tpu.splat import composite as C
+
+        data = _data(seed=5)
+        xy, conic, color, opa, depth, bg, bins = data
+
+        def gsum(*a):
+            img, alpha, dep = composite_tiles(
+                xy, a[0], conic, color, opa, depth, bg, bins,
+                TILES, TILES, 32, 128, 32, "pallas",
+            )
+            return jnp.sum(img) + jnp.sum(alpha * dep)
+
+        g_ref = jax.grad(gsum)(jnp.zeros_like(xy))
+        monkeypatch.setattr(C, "APOS_MODE", mode)
+        g_mode = jax.grad(gsum)(jnp.zeros_like(xy))
+        np.testing.assert_allclose(
+            np.asarray(g_ref), np.asarray(g_mode), atol=1e-6, err_msg=mode
+        )
+
+    def test_scatter_inverse_matches_sort(self, monkeypatch):
+        data = _data(seed=7)
+        xy, conic, color, opa, depth, bg, bins = data
+
+        def gsum(*a):
+            img, alpha, dep = composite_tiles(
+                xy, a[0], conic, color, opa, depth, bg, bins,
+                TILES, TILES, 32, 128, 32, "pallas",
+            )
+            return jnp.sum(img) + jnp.sum(alpha * dep)
+
+        g_ref = jax.grad(gsum)(jnp.zeros_like(xy))
+        monkeypatch.setenv("GD_APOS_INV", "scatter")
+        g_sc = jax.grad(gsum)(jnp.zeros_like(xy))
+        np.testing.assert_allclose(
+            np.asarray(g_ref), np.asarray(g_sc), atol=1e-6
+        )
