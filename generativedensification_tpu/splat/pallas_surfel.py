@@ -40,7 +40,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_kernels import (
     CHUNK,
-    NPIX,
     T_EPS,
     _cumsum0,
     _interpret,
@@ -62,7 +61,7 @@ N_ATTR = 19
 def _pix_rows(t, tiles_x: int, ts: int):
     ox = (t % tiles_x) * ts
     oy = (t // tiles_x) * ts
-    p = jax.lax.broadcasted_iota(jnp.int32, (1, NPIX), 1)
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, ts * ts), 1)
     Xl = (p % ts).astype(jnp.float32)
     Yl = (p // ts).astype(jnp.float32)
     return Xl, Yl, ox.astype(jnp.float32), oy.astype(jnp.float32)
@@ -95,7 +94,7 @@ def _chunk_geometry(AT, Xl, Yl, ox, oy, offset, count, znear, zfar):
     power = jnp.maximum(g3d, g2d)
     zhit = col(_DET) * rz
 
-    row_idx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, NPIX), 0)
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, crx.shape, 0)
     pos = offset + row_idx
     live = (pos >= 0) & (pos < count)
     alpha = jnp.minimum(ALPHA_MAX, col(_OPA) * jnp.exp(power))
@@ -147,6 +146,7 @@ def _fwd_kernel(
     count = counts_ref[t]
     znear = scal_ref[0]
     zfar = scal_ref[1]
+    npix = ts * ts
     Xl, Yl, ox, oy = _pix_rows(t, tiles_x, ts)
     n_chunks = pl.cdiv(head + count, CHUNK)
 
@@ -163,8 +163,8 @@ def _fwd_kernel(
     def _():
         dma(0, 0).start()
 
-    ones = jnp.ones((1, NPIX), jnp.float32)
-    zeros = jnp.zeros((1, NPIX), jnp.float32)
+    ones = jnp.ones((1, npix), jnp.float32)
+    zeros = jnp.zeros((1, npix), jnp.float32)
 
     def chunk_body(state):
         c, T_raw, C8, Dexp, Dmed, m1, m2, dist = state
@@ -222,7 +222,7 @@ def _fwd_kernel(
 
     c, T_raw, C8, Dexp, Dmed, m1, m2, dist = jax.lax.while_loop(
         cond, chunk_body,
-        (0, ones, jnp.zeros((8, NPIX), jnp.float32),
+        (0, ones, jnp.zeros((8, npix), jnp.float32),
          zeros, zeros, zeros, zeros, zeros),
     )
 
@@ -280,7 +280,8 @@ def pallas_surfel_fwd(acr, bcr, ccr, det, xy, color, opacity, normal, bg,
                       znear, zfar, bins_arrays, tiles_x, tiles_y, tile_size):
     from .composite import _untile
 
-    assert tile_size == 32, "pallas surfel path is specialized to 32px tiles"
+    assert tile_size in (16, 32), "pallas surfel path supports 16/32px tiles"
+    npix = tile_size * tile_size
     ids, _, _, sorted_rank, depth_order, tile_starts, tile_counts = bins_arrays
     num_tiles = tiles_x * tiles_y
     slab_t = _sorted_surfel_slab(
@@ -294,9 +295,9 @@ def pallas_surfel_fwd(acr, bcr, ccr, det, xy, color, opacity, normal, bg,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=[
-            pl.BlockSpec((1, 8, NPIX), lambda t, *p: (t, 0, 0),
+            pl.BlockSpec((1, 8, npix), lambda t, *p: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, NPIX), lambda t, *p: (t, 0, 0),
+            pl.BlockSpec((1, 8, npix), lambda t, *p: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -308,15 +309,14 @@ def pallas_surfel_fwd(acr, bcr, ccr, det, xy, color, opacity, normal, bg,
     C8, EX = pl.pallas_call(
         kernel,
         out_shape=[
-            jax.ShapeDtypeStruct((num_tiles, 8, NPIX), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, 8, NPIX), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, 8, npix), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, 8, npix), jnp.float32),
         ],
         grid_spec=grid_spec,
         interpret=_interpret(),
     )(tile_starts, tile_counts, scal, slab_t)
 
     ts = tile_size
-    npix = ts * ts
     alpha_t = EX[:, 0]
     C = C8[:, 0:3].transpose(0, 2, 1)               # (T, npix, 3)
     Nacc = C8[:, 3:6].transpose(0, 2, 1)
@@ -353,6 +353,7 @@ def _bwd_kernel(
     count = counts_ref[t]
     znear = scal_ref[0]
     zfar = scal_ref[1]
+    npix = ts * ts
     Xl, Yl, ox, oy = _pix_rows(t, tiles_x, ts)
     n_chunks = pl.cdiv(head + count, CHUNK)
 
@@ -391,8 +392,8 @@ def _bwd_kernel(
     def _():
         dma_in(0, 0).start()
 
-    ones = jnp.ones((1, NPIX), jnp.float32)
-    zeros = jnp.zeros((1, NPIX), jnp.float32)
+    ones = jnp.ones((1, npix), jnp.float32)
+    zeros = jnp.zeros((1, npix), jnp.float32)
 
     def chunk_body(state):
         c, T_raw, prefix, m1, m2 = state
@@ -584,9 +585,9 @@ def pallas_surfel_bwd(saved, cot, tiles_x, tiles_y, tile_size):
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((1, 8, NPIX), lambda t, *p: (t, 0, 0),
+            pl.BlockSpec((1, 8, npix), lambda t, *p: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, NPIX), lambda t, *p: (t, 0, 0),
+            pl.BlockSpec((1, 8, npix), lambda t, *p: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],

@@ -4,6 +4,7 @@ compiled on TPU — same code path either way)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from generativedensification_tpu.core.camera import Camera
 from generativedensification_tpu.core.transforms import normalize_quat
@@ -29,20 +30,23 @@ def _scene(seed=0):
     return means, shs, opa, scales, quats, cam, bg
 
 
-def _render(backend, scene, **kw):
+def _render(backend, scene, ts=32, **kw):
     means, shs, opa, scales, quats, cam, bg = scene
+    # the 64px test splats are large: enumerate the full rect so the
+    # mask-only default window does not drop live pairs at 16px tiles
     return rasterize_surfels(
         means, shs, opa, scales, quats, cam, bg, sh_degree=1,
-        tile_size=32, max_tiles=4, max_per_tile=256, chunk=32,
-        backend=backend, **kw,
+        tile_size=ts, max_tiles=16, max_per_tile=256, chunk=32,
+        backend=backend, enum_tiles=16, **kw,
     )
 
 
 class TestSurfelPallasParity:
-    def test_forward_matches_xla(self):
+    @pytest.mark.parametrize("ts", [16, 32])
+    def test_forward_matches_xla(self, ts):
         scene = _scene()
-        ox = _render("xla", scene)
-        op = _render("pallas", scene)
+        ox = _render("xla", scene, ts=ts)
+        op = _render("pallas", scene, ts=ts)
         for name in ["image", "alpha", "depth_expected", "normal", "dist"]:
             a, b = np.asarray(getattr(ox, name)), np.asarray(getattr(op, name))
             scale = max(1.0, np.abs(a).max())
@@ -61,7 +65,8 @@ class TestSurfelPallasParity:
         if both.any():
             np.testing.assert_allclose(dm_x[both], dm_p[both], atol=1e-3)
 
-    def test_gradients_match_xla(self):
+    @pytest.mark.parametrize("ts", [16, 32])
+    def test_gradients_match_xla(self, ts):
         scene = _scene(seed=4)
         means, shs, opa, scales, quats, cam, bg = scene
         rng = np.random.default_rng(1)
@@ -71,8 +76,8 @@ class TestSurfelPallasParity:
         def loss(be, means, shs, opa, scales, quats):
             o = rasterize_surfels(
                 means, shs, opa, scales, quats, cam, bg, sh_degree=1,
-                tile_size=32, max_tiles=4, max_per_tile=256, chunk=32,
-                backend=be,
+                tile_size=ts, max_tiles=16, max_per_tile=256, chunk=32,
+                backend=be, enum_tiles=16,
             )
             return (
                 jnp.sum(o.image * wi)
