@@ -126,15 +126,16 @@ def _alpha_matrix(A, AT, offset, count, basis8, ox, oy):
     # below the minimum tile), so build the live mask at power's full shape
     row_idx = jax.lax.broadcasted_iota(jnp.int32, power.shape, 0)
     pos = offset + row_idx
-    live = ((pos >= 0) & (pos < count)).astype(jnp.float32)
+    live = (pos >= 0) & (pos < count)
 
     # power = -quadratic_form <= 0 mathematically (PSD conic); positives are
     # pure rounding noise from the matmul form, so clamp instead of the
     # reference's strict power>0 cull (which only ever fires on noise).
     power = jnp.minimum(power, 0.0)
     alpha = jnp.minimum(ALPHA_MAX, opa_c * jnp.exp(power))
-    ok = alpha >= ALPHA_MIN
-    return jnp.where(ok, alpha, 0.0) * val_c * live
+    # one fused select instead of two {0,1} multiplies (val/live are masks)
+    ok = (alpha >= ALPHA_MIN) & (val_c > 0.0) & live
+    return jnp.where(ok, alpha, 0.0)
 
 
 def _color_lhs(A):
