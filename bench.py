@@ -23,9 +23,9 @@ import numpy as np
 
 A100_BASELINE_RENDERS_PER_SEC = 100.0  # estimate; see module docstring
 
-N_GAUSSIANS = 131072
-H = W = 512
-N_ITERS = 20
+N_GAUSSIANS = int(os.environ.get("BENCH_N", 131072))
+H = W = int(os.environ.get("BENCH_HW", 512))
+N_ITERS = int(os.environ.get("BENCH_ITERS", 20))
 
 
 def main():
@@ -87,7 +87,9 @@ def main():
         )
         return jnp.mean((out.image - gt) ** 2)
 
-    step = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4)))
+    grad_fn = jax.grad(
+        lambda p: loss_fn(*p)
+    )
 
     # overflow guard: the budget must not drop pairs on the bench scene
     probe = jax.jit(
@@ -98,21 +100,35 @@ def main():
     )()
     assert int(probe) == 0, f"pair budget overflowed: {int(probe)}"
 
-    # warmup / compile
-    g = step(means, shs, opa_raw, scale_raw, quats)
-    jax.block_until_ready(g)
+    # Device-resident chain of N_ITERS differentiable renders: each
+    # iteration's inputs depend on the previous gradients (a denormal-lr
+    # SGD step — numerically a no-op, but a true serial dependence, so
+    # XLA cannot hoist the loop-invariant render out of the loop).  One
+    # dispatch measures pure chip time; per-call dispatch over the axon
+    # tunnel added ~3-4ms/render that is not rasterizer work.
+    @jax.jit
+    def chain(p):
+        def body(_, q):
+            g = grad_fn(q)
+            return jax.tree.map(lambda a, b: a - 1e-30 * b, q, g)
+
+        return jax.lax.fori_loop(0, N_ITERS, body, p)
+
+    p0 = (means, shs, opa_raw, scale_raw, quats)
+    jax.block_until_ready(chain(p0))  # warmup / compile
 
     t0 = time.perf_counter()
-    for _ in range(N_ITERS):
-        g = step(means, shs, opa_raw, scale_raw, quats)
-    jax.block_until_ready(g)
+    jax.block_until_ready(chain(p0))
     dt = time.perf_counter() - t0
 
     renders_per_sec = N_ITERS / dt
     print(
         json.dumps(
             {
-                "metric": "renders/sec/chip @512^2 fwd+bwd, 131k gaussians",
+                "metric": (
+                    f"renders/sec/chip @{H}^2 fwd+bwd, "
+                    f"{N_GAUSSIANS // 1024}k gaussians"
+                ),
                 "value": round(renders_per_sec, 3),
                 "unit": "renders/s",
                 "vs_baseline": round(

@@ -65,6 +65,27 @@ class PDNorm(nn.Module):
         return masked_layer_norm(x) * scale[condition] + bias[condition]
 
 
+class AdaLayerNorm(nn.Module):
+    """Global-feature-modulated LayerNorm: ``affine(global_feat) *
+    LN_noaffine(feat)`` with the affine broadcast to every point of the
+    sample (``layers/normalization.py:77-93`` — multiplicative only, no
+    shift; the CSR ``gather_csr`` broadcast becomes a (B, 1, C) broadcast
+    over the batched point layout).
+
+    Only the legacy AutoEncoder substitutes this norm
+    (``autoencoder.py:1345-1349``); the main Network path's
+    ``enable_ada_lnnorm`` merely inserts ``GlobalPooling`` (SURVEY §2.4
+    note) — provided for component parity.
+    """
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, feat: jnp.ndarray, global_feat: jnp.ndarray) -> jnp.ndarray:
+        mod = nn.Dense(self.dim, name="affine")(global_feat)
+        return mod[:, None, :] * masked_layer_norm(feat)
+
+
 class DropPath(nn.Module):
     """Per-sample stochastic depth on a residual branch."""
 

@@ -258,3 +258,28 @@ class TestBf16Policy:
         pe = enc.init(jax.random.PRNGKey(0), img)
         tokens = enc.apply(pe, img)
         assert tokens.dtype == jnp.float32
+
+
+class TestAdaLayerNorm:
+    def test_modulates_ln_by_global_affine(self):
+        """affine(global_feat) * LN_noaffine(feat), affine broadcast over
+        points (reference layers/normalization.py:77-93)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from generativedensification_tpu.points.modules import AdaLayerNorm
+        from generativedensification_tpu.points.ops import masked_layer_norm
+
+        rng = np.random.default_rng(1)
+        feat = jnp.asarray(rng.normal(size=(2, 6, 4)), jnp.float32)
+        gfeat = jnp.asarray(rng.normal(size=(2, 4)), jnp.float32)
+        m = AdaLayerNorm(dim=4)
+        p = m.init(jax.random.PRNGKey(0), feat, gfeat)
+        y = m.apply(p, feat, gfeat)
+
+        w = np.asarray(p["params"]["affine"]["kernel"])
+        b = np.asarray(p["params"]["affine"]["bias"])
+        mod = np.asarray(gfeat) @ w + b
+        expect = mod[:, None, :] * np.asarray(masked_layer_norm(feat))
+        np.testing.assert_allclose(np.asarray(y), expect, rtol=1e-5, atol=1e-6)
