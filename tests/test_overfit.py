@@ -130,3 +130,44 @@ def test_overfit_single_scene_2dgs():
         f"2DGS fine PSNR did not improve: {first_fine:.2f} -> {final_fine:.2f}"
     )
     assert float(stats["overflow"]) == 0.0
+
+
+def test_overfit_single_scene_residual():
+    """Config-3 quality regression: residual attribute mode
+    (``enable_residual_attribute=True`` — ``epoch=49_residual.ckpt`` in
+    the reference acceptance matrix) trains end-to-end: the
+    MaskResModule softmax gate + GaussianResModule parent-attribute
+    accumulation must let fine PSNR improve, with budgets dropping
+    nothing."""
+    cfg = NetworkConfig(
+        n_views=2, encoder_backbone="tiny_test", n_groups=(4,),
+        n_offset_groups=8, num_layers=1, num_heads=4, view_embed_dim=8,
+        embedding_dim=32, vol_feat_reso=4, vol_embedding_reso=8,
+        vol_embedding_out_dim=16, k_num=96, dec_depths=(1, 1),
+        dec_channels=(32, 48), dec_num_head=(4, 6), dec_patch_size=(48, 48),
+        drop_path=0.0, non_leaf_ratio=(0.75,), upscale_factor=(2, 4),
+        # geometry-proof budgets (see the 3DGS test above)
+        mask_pool=192, tile_size=16, max_tiles=16, max_per_tile=4096,
+        raster_chunk=64, vmap_renders=True,
+        enable_residual_attribute=True,
+    )
+    net = Network(cfg)
+    batch = _scene_batch()
+    params = net.init({"params": jax.random.PRNGKey(0)}, batch, with_fine=True)
+    tx, _ = make_optimizer(params, lr=2e-3, warmup_iters=10, accumulate=1)
+    state = create_train_state(params, tx)
+    step = make_train_step(net, tx, Losses(ssim_levels=2), with_fine=True)
+
+    first_fine = None
+    stats = {}
+    for i in range(30):
+        state, stats = step(state, batch)
+        if i == 2:
+            first_fine = float(stats["psnr_fine"])
+    final_fine = float(stats["psnr_fine"])
+
+    assert np.isfinite(float(stats["psnr"])) and np.isfinite(final_fine)
+    assert final_fine - first_fine > 0.5, (
+        f"residual fine PSNR did not improve: {first_fine:.2f} -> {final_fine:.2f}"
+    )
+    assert float(stats["overflow"]) == 0.0
