@@ -46,6 +46,20 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _recip(x: jnp.ndarray) -> jnp.ndarray:
+    """1/x for the backward's per-pair-pixel term.
+
+    ``GD_RECIP=approx`` swaps the exact divide for the VPU's approximate
+    reciprocal (~2^-12 rel err — fine for training, outside the default
+    parity tolerances; A/B knob only, exact stays the default).
+    """
+    import os
+
+    if os.environ.get("GD_RECIP", "exact") == "approx" and not _interpret():
+        return pl.reciprocal(x, approx=True)
+    return 1.0 / x
+
+
 ALPHA_MAX = 0.99
 ALPHA_MIN = 1.0 / 255.0
 T_EPS = 1e-4
@@ -498,7 +512,7 @@ def _bwd_kernel(
         prefix = pref[-1:]
 
         suffix = G - pref
-        inv_1ma = 1.0 / jnp.maximum(1.0 - alpha, 1.0 - ALPHA_MAX)
+        inv_1ma = _recip(jnp.maximum(1.0 - alpha, 1.0 - ALPHA_MAX))
         inc_m = (Tinc > 0.0).astype(jnp.float32)
         g_alpha = inc_m * (contrib * Tinc - (suffix + gTf) * inv_1ma)
 

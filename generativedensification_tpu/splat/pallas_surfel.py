@@ -43,6 +43,7 @@ from .pallas_kernels import (
     T_EPS,
     _cumsum0,
     _interpret,
+    _recip,
     _transmittance,
 )
 
@@ -447,7 +448,7 @@ def _bwd_kernel(
         # alpha chain (suffix trick; prefix accumulates cw·w)
         pref = prefix + _cumsum0(cw * W)
         suffix = G - pref
-        inv_1ma = 1.0 / jnp.maximum(1.0 - alpha, 1.0 - ALPHA_MAX)
+        inv_1ma = _recip(jnp.maximum(1.0 - alpha, 1.0 - ALPHA_MAX))
         inc_m = (T_exc * inc > 0.0).astype(jnp.float32)
         g_alpha = inc_m * (cw * T_exc - (suffix + gTf) * inv_1ma)
 
