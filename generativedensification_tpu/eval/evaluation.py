@@ -162,6 +162,22 @@ def main(cfg: ConfigNode) -> dict:
     return result
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("sh_degree", "raster_items"))
+def _render_ft(p, shs, cam, bg, *, sh_degree, raster_items):
+    """Render finetuned params; module-level + static config so the
+    compile cache is shared across all scenes of an eval run."""
+    from ..splat.rasterizer import rasterize
+
+    return rasterize(
+        p["xyz"], shs, jax.nn.sigmoid(p["opacity"][:, 0]),
+        jnp.exp(p["scaling"]), p["rotation"], cam, bg,
+        sh_degree, **dict(raster_items),
+    ).image
+
+
 def finetune_scene(out, batch, net_cfg, ft_cfg, n_views):
     """Per-scene Gaussian finetuning against the source views
     (``infer.finetuning`` group; reference machinery ``renderer.py:128-207``).
@@ -207,20 +223,14 @@ def finetune_scene(out, batch, net_cfg, ft_cfg, n_views):
         raster_kw=raster_kw,
     )
 
-    from ..splat.rasterizer import rasterize
-
     shs = jnp.concatenate([p["sh_dc"], p["sh_rest"]], axis=1)
-
-    @jax.jit
-    def render_one(cam, bg):
-        return rasterize(
-            p["xyz"], shs, jax.nn.sigmoid(p["opacity"][:, 0]),
-            jnp.exp(p["scaling"]), p["rotation"], cam, bg,
-            net_cfg.sh_degree, **raster_kw,
-        ).image
-
+    raster_items = tuple(sorted(raster_kw.items()))
     imgs = jnp.stack([
-        render_one(jax.tree.map(lambda x: x[j], cams), batch["bg_color"][0, j])
+        _render_ft(
+            p, shs, jax.tree.map(lambda x: x[j], cams),
+            batch["bg_color"][0, j],
+            sh_degree=net_cfg.sh_degree, raster_items=raster_items,
+        )
         for j in range(V_total)
     ])  # (V, H, W, 3)
     image_fine = imgs.transpose(1, 0, 2, 3).reshape(1, H, V_total * W, 3)

@@ -10,6 +10,8 @@ rotation, exactly the reference's ``get_params`` grouping.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -50,34 +52,20 @@ def params_from_gaussians(xyz, shs, opacity_raw, scaling_raw, rotation):
     }
 
 
-def finetune(
-    params: dict,
-    cams,                    # batched Camera over V source views
-    gt_images: jnp.ndarray,  # (V, H, W, 3)
-    bgs: jnp.ndarray,        # (V, 3)
-    sh_degree: int = 1,
-    steps: int = 500,
-    position_lr: float = 1.6e-5,
-    feature_lr: float = 2.5e-3,
-    opacity_lr: float = 0.05,
-    scaling_lr: float = 5e-3,
-    rotation_lr: float = 1e-3,
-    raster_kw: dict | None = None,
-):
-    raster_kw = raster_kw or {}
-
-    lrs = {
-        "xyz": position_lr,
-        "sh_dc": feature_lr,
-        "sh_rest": feature_lr / 20.0,
-        "opacity": opacity_lr,
-        "scaling": scaling_lr,
-        "rotation": rotation_lr,
-    }
-    tx = optax.multi_transform(
-        {k: optax.adam(v) for k, v in lrs.items()}, {k: k for k in params}
+def _make_tx(lrs: tuple):
+    return optax.multi_transform(
+        {k: optax.adam(v) for k, v in lrs}, {k: k for k, _ in lrs}
     )
-    opt_state = tx.init(params)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sh_degree", "lrs", "raster_items")
+)
+def _ft_step(p, s, cams, gt_images, bgs, *, sh_degree, lrs, raster_items):
+    """One Adam step of render-MSE.  Module-level + static config so the
+    compile cache is shared across scenes (a per-scene closure would
+    recompile identical-shape programs once per scene)."""
+    raster_kw = dict(raster_items)
 
     def loss_fn(p):
         shs = jnp.concatenate([p["sh_dc"], p["sh_rest"]], axis=1)
@@ -98,13 +86,43 @@ def finetune(
         imgs = jax.vmap(render_one)(cams, bgs)
         return jnp.mean((imgs - gt_images) ** 2)
 
-    @jax.jit
-    def step(p, s):
-        loss, g = jax.value_and_grad(loss_fn)(p)
-        updates, s = tx.update(g, s, p)
-        return optax.apply_updates(p, updates), s, loss
+    tx = _make_tx(lrs)
+    loss, g = jax.value_and_grad(loss_fn)(p)
+    updates, s = tx.update(g, s, p)
+    return optax.apply_updates(p, updates), s, loss
+
+
+def finetune(
+    params: dict,
+    cams,                    # batched Camera over V source views
+    gt_images: jnp.ndarray,  # (V, H, W, 3)
+    bgs: jnp.ndarray,        # (V, 3)
+    sh_degree: int = 1,
+    steps: int = 500,
+    position_lr: float = 1.6e-5,
+    feature_lr: float = 2.5e-3,
+    opacity_lr: float = 0.05,
+    scaling_lr: float = 5e-3,
+    rotation_lr: float = 1e-3,
+    raster_kw: dict | None = None,
+):
+    raster_kw = raster_kw or {}
+
+    lrs = (
+        ("xyz", position_lr),
+        ("sh_dc", feature_lr),
+        ("sh_rest", feature_lr / 20.0),
+        ("opacity", opacity_lr),
+        ("scaling", scaling_lr),
+        ("rotation", rotation_lr),
+    )
+    opt_state = _make_tx(lrs).init(params)
+    raster_items = tuple(sorted(raster_kw.items()))
 
     loss = jnp.inf
     for _ in range(steps):
-        params, opt_state, loss = step(params, opt_state)
+        params, opt_state, loss = _ft_step(
+            params, opt_state, cams, gt_images, bgs,
+            sh_degree=sh_degree, lrs=lrs, raster_items=raster_items,
+        )
     return params, float(loss)

@@ -434,20 +434,6 @@ class Network(nn.Module):
 
     # ---------------------------------------------------------------- utils
 
-    def _cameras(self, batch, b):
-        """Per-sample batched-over-views Camera."""
-        znear, zfar = batch["near_far"][b, 0], batch["near_far"][b, 1]
-        H, W = batch["tar_rgb"].shape[2:4]
-        return Camera.from_c2w(
-            batch["tar_c2w"][b],
-            batch["fovx"][b],
-            batch["fovy"][b],
-            width=W,
-            height=H,
-            znear=znear,
-            zfar=zfar,
-        )
-
     def _cameras_all(self, batch):
         """(B, V_total)-batched Camera pytree."""
         H, W = batch["tar_rgb"].shape[2:4]
@@ -689,18 +675,29 @@ class Network(nn.Module):
                 out_v = self._render_views(
                     cams_v, bgs[:V], c, s_, o, sc, r, valid, sel_gt=gt
                 )
-                # per-view abs grads sum across views (disjoint pixels =
-                # exactly the reference's joint-MSE accumulation)
-                score = jnp.linalg.norm(jnp.sum(out_v.sel_abs, axis=0), axis=-1)
+                # per-view abs grads sum across views; each view's
+                # cotangent is the per-view MSE's (2/(H*W*3)), while the
+                # reference differentiates ONE mean over the V-view concat
+                # (network.py:865-872) — divide by V so the scores match
+                # the isolated-closure path bit-for-scale
+                score = (
+                    jnp.linalg.norm(jnp.sum(out_v.sel_abs, axis=0), axis=-1)
+                    / V
+                )
                 out_v = out_v.replace(sel_abs=None)
 
-                out_rest = self._render_views(
-                    cams_rest, bgs[V:], c, s_, o, sc, r, valid
-                )
-                out_full = jax.tree.map(
-                    lambda a, b: jnp.concatenate([a, b], axis=0),
-                    out_v, out_rest,
-                )
+                if bgs.shape[0] > V:
+                    out_rest = self._render_views(
+                        cams_rest, bgs[V:], c, s_, o, sc, r, valid
+                    )
+                    out_full = jax.tree.map(
+                        lambda a, b: jnp.concatenate([a, b], axis=0),
+                        out_v, out_rest,
+                    )
+                else:
+                    # batch supplies exactly n_views views: nothing to
+                    # render beyond the source views
+                    out_full = out_v
                 return out_full, score
 
             coarse, sel_score_shared = self._over_batch(
@@ -861,6 +858,10 @@ class Network(nn.Module):
                 "acc_map_fine": _cat_views(fine.alpha),
             }
         )
+        # the fine renders (the largest point set, hence the most likely
+        # to hit a static budget) must feed the overflow diagnostic too —
+        # a drop there silently zeroes that pair's gradients
+        outputs["overflow"] = outputs["overflow"] + fine.overflow
         render_pkg.append(
             (fine_centers, fine_sh, fine_op, fine_sc, fine_rot, fine_ok)
         )

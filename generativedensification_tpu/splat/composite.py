@@ -119,9 +119,19 @@ def _aligned_layout(tile_starts, tile_counts, sorted_valid, P, num_tiles):
     aligned-down offset, head rows masked); only the backward's grad
     OUTPUT needs disjoint CHUNK-aligned segments.  A tile's segment holds
     ``cdiv(head + count, CHUNK)`` chunks and sorted slot ``s`` lands at
-    ``astarts[t] + (s - base_t)``.  ``astarts - base`` is non-decreasing,
-    so the per-slot value is a 256-element scatter + ``cummax`` — per-slot
-    gathers from the tiny tile tables cost ~10ms at 1M slots, this ~1ms."""
+    ``astarts[t] + (s - base_t)``.
+
+    ``tile_counts`` here are the CLAMPED (``min(count, max_per_tile)``)
+    counts, so two per-tile quantities must reach every slot exactly:
+    its own tile's aligned delta (``astarts - base`` stops being
+    non-decreasing once any tile clamps — a stale ``cummax`` delta would
+    aim later tiles' grads into other tiles' segments) and the cap end
+    (slots past the cap are never composited, so their grads must go to
+    the dead sentinel, not overrun the segment).  Both come from ONE
+    scatter + ONE ``(3, P)`` ``cummax`` of per-tile values that ARE
+    non-decreasing: segment starts, tile starts, and cap ends — per-slot
+    gathers from the tiny tile tables would cost ~10ms at 1M slots,
+    this ~1ms."""
     from .pallas_kernels import CHUNK
 
     M = _grad_slab_width(P, num_tiles)
@@ -131,14 +141,20 @@ def _aligned_layout(tile_starts, tile_counts, sorted_valid, P, num_tiles):
     astarts = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(padded)[:-1].astype(jnp.int32)]
     )
-    delta = astarts - base
-    dvec = jnp.full((P,), jnp.iinfo(jnp.int32).min, jnp.int32).at[tile_starts].max(
-        delta, mode="drop"
-    )
-    dprop = jax.lax.cummax(dvec)
+    cap_end = tile_starts + tile_counts
+    rows = jnp.stack([astarts, tile_starts, cap_end])          # (3, T)
+    vec = jnp.full((3, P), jnp.iinfo(jnp.int32).min, jnp.int32)
+    vec = vec.at[:, tile_starts].max(rows, mode="drop")
+    aprop, sprop, capprop = jax.lax.cummax(vec, axis=1)
     idx = jnp.arange(P, dtype=jnp.int32)
-    # dead slots hit M-1: past every aligned segment, never written, zero
-    pos = jnp.where(sorted_valid, idx + dprop, M - 1)
+    # slot s of tile t lands at astarts_t + (s - base_t); base_t =
+    # sprop - sprop % CHUNK.  Dead / beyond-cap slots hit M-1: past every
+    # aligned segment, never written, zero.
+    pos = jnp.where(
+        sorted_valid & (idx < capprop),
+        aprop + jax.lax.rem(sprop, CHUNK) + idx - sprop,
+        M - 1,
+    )
     return astarts, pos
 
 

@@ -59,7 +59,14 @@ def make_train_step(
             # get zero grads, and torch AdamW under Lightning
             # DDP(find_unused_parameters=True) skips them entirely — optax
             # adamw would still weight-decay them.  Zero the update for any
-            # leaf whose gradient is identically zero (reference parity).
+            # leaf whose gradient is identically zero.  Known deltas vs the
+            # reference, both transient: (a) a USED leaf whose grad happens
+            # to be exactly zero one step skips that step's momentum/decay
+            # update (torch would apply it; its moments still update here
+            # exactly as torch's); (b) structurally-unused leaves keep
+            # mu = nu = 0 just like torch, but optax's bias-correction
+            # count is global, so their first ~20 post-activation updates
+            # are smaller than torch's fresh-state ones.
             updates = jax.tree.map(
                 lambda u, g: jnp.where(jnp.any(g != 0), u, jnp.zeros_like(u)),
                 updates,

@@ -246,3 +246,19 @@ class TestStartFineSwitch:
             )
         )
         assert moved
+
+
+class TestExactSourceViews:
+    def test_forward_with_only_source_views(self, setup_net):
+        """A batch supplying exactly n_views views (no extra targets) must
+        trace: the fused-selection path used to concat with an empty
+        rest-render (r2 review finding)."""
+        cfg, net, batch, params = setup_net
+        per_view = {"tar_rgb", "tar_c2w", "tar_w2c", "tar_ixt", "bg_color"}
+        b2 = {
+            k: (v[:, :V_SRC] if k in per_view else v)
+            for k, v in batch.items()
+        }
+        out = net.apply(params, b2, with_fine=True)
+        assert out["image"].shape == (B, H, V_SRC * W, 3)
+        assert np.isfinite(np.asarray(out["image_fine"])).all()

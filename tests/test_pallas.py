@@ -133,3 +133,67 @@ class TestGradReduceModes:
         np.testing.assert_allclose(
             np.asarray(g_ref), np.asarray(g_sc), atol=1e-6
         )
+
+
+class TestPerTileCapOverflow:
+    """Backend grad parity when a tile exceeds ``max_per_tile``.
+
+    The rasterizer clamps tile_counts to the cap so both backends
+    composite the same front-most slots; the Pallas backward's aligned
+    grad layout must respect the clamp too — a stale cummax delta used
+    to aim every later tile's grads into other tiles' segments, and
+    beyond-cap slots used to overrun their segment (r2 review finding)."""
+
+    def _data_overflow(self, seed=7, ts=32):
+        rng = np.random.default_rng(seed)
+        # tile 0 spans 300 slots against a 128 cap: its clamped aligned
+        # padding (128) is SMALLER than the next tile's base step (256),
+        # the stale-cummax-delta failure mode — plus 172 beyond-cap slots
+        # that used to overrun into tile 1's written grad rows
+        P_ovf = 384
+        counts = jnp.asarray([300, 20, 0, 12], jnp.int32)
+        starts = jnp.asarray([0, 300, 320, 320], jnp.int32)
+        sorted_o = rng.permutation(P_ovf).astype(np.int32)
+        ids = sorted_o // (P_ovf // N)
+        valid = np.zeros(P_ovf, bool)
+        for s, c in zip(np.asarray(starts), np.asarray(counts)):
+            valid[s:s + c] = True
+        xy = jnp.asarray(rng.uniform(0, 2 * ts, (N, 2)), jnp.float32)
+        conic = jnp.tile(
+            jnp.asarray([[0.08, 0.01, 0.06]], jnp.float32), (N, 1)
+        )
+        color = jnp.asarray(rng.uniform(0, 1, (N, 3)), jnp.float32)
+        opa = jnp.asarray(rng.uniform(0.2, 0.95, N), jnp.float32)
+        depth = jnp.asarray(rng.uniform(1, 3, N), jnp.float32)
+        bg = jnp.asarray([0.3, 0.6, 0.9])
+        return xy, conic, color, opa, depth, bg, (
+            jnp.asarray(ids), jnp.asarray(sorted_o), jnp.asarray(valid),
+            jnp.asarray(ids), jnp.arange(N, dtype=jnp.int32),
+            starts, jnp.minimum(counts, 128),   # the rasterizer's clamp
+        )
+
+    def test_gradients_match_xla_with_clamped_tile(self):
+        ts = 32
+        data = self._data_overflow(ts=ts)
+        xy, conic, color, opa, depth, bg, bins = data
+        rng = np.random.default_rng(1)
+        w = jnp.asarray(rng.normal(size=(2 * ts, 2 * ts, 3)), jnp.float32)
+
+        def loss(be, xy, xy_abs, conic, color, opa, depth):
+            img, alpha, dep = composite_tiles(
+                xy, xy_abs, conic, color, opa, depth, bg, bins,
+                TILES, TILES, ts, 128, 32, be,
+            )
+            return jnp.sum(img * w) + 0.2 * jnp.sum(alpha) + 0.1 * jnp.sum(dep)
+
+        zeros = jnp.zeros_like(xy)
+        args = (xy, zeros, conic, color, opa, depth)
+        gx = jax.grad(lambda *a: loss("xla", *a), argnums=tuple(range(6)))(*args)
+        gp = jax.grad(lambda *a: loss("pallas", *a), argnums=tuple(range(6)))(*args)
+        names = ["xy", "xy_abs", "conic", "color", "opa", "depth"]
+        for a, b, name in zip(gx, gp, names):
+            scale = max(1e-6, float(jnp.abs(a).max()))
+            np.testing.assert_allclose(
+                np.asarray(a) / scale, np.asarray(b) / scale, atol=5e-5,
+                err_msg=f"grad {name}",
+            )

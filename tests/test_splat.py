@@ -452,3 +452,56 @@ class TestPairBudget:
                                            bg, 1, **kw))(means)
         assert int(out.overflow) > int(full.overflow)
         assert bool(jnp.isfinite(out.image).all())
+
+
+class TestSelMultiView:
+    def test_two_view_normalization(self):
+        """Per-view fused sel_abs summed and divided by V equals the AbsGS
+        grads of ONE mean over the V-view stack — the reference's joint
+        MSE (network.py:865-872); the fused path's per-view cotangent is V
+        times the joint one, hence the /V in Network (r2 review finding)."""
+        import numpy as np
+
+        from generativedensification_tpu.core.camera import Camera
+        from generativedensification_tpu.splat.rasterizer import rasterize
+
+        rng = np.random.default_rng(11)
+        N, H, W = 200, 64, 64
+        means = jnp.asarray(rng.uniform(-0.4, 0.4, (N, 3)), jnp.float32)
+        shs = jnp.asarray(rng.normal(size=(N, 4, 3)) * 0.3, jnp.float32)
+        opa = jnp.asarray(rng.uniform(0.2, 0.9, N), jnp.float32)
+        scales = jnp.asarray(
+            np.exp(rng.uniform(np.log(0.02), np.log(0.08), (N, 3))),
+            jnp.float32,
+        )
+        quats = jnp.asarray(rng.normal(size=(N, 4)), jnp.float32)
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[2, 3] = -1.9
+        cam = Camera.from_c2w(jnp.asarray(c2w), 0.8, 0.8, W, H, 0.1, 10.0)
+        bg = jnp.ones(3)
+        gt0 = jnp.asarray(rng.uniform(size=(H, W, 3)), jnp.float32)
+        gt1 = jnp.asarray(rng.uniform(size=(H, W, 3)), jnp.float32)
+        kw = dict(tile_size=16, max_tiles=8, max_per_tile=1024, chunk=32)
+
+        fused = jax.jit(
+            lambda: (
+                rasterize(means, shs, opa, scales, quats, cam, bg, 1,
+                          sel_gt=gt0, **kw).sel_abs
+                + rasterize(means, shs, opa, scales, quats, cam, bg, 1,
+                            sel_gt=gt1, **kw).sel_abs
+            ) / 2.0
+        )()
+
+        def joint(sabs):
+            o0 = rasterize(means, shs, opa, scales, quats, cam, bg, 1,
+                           screen_abs=sabs, **kw)
+            o1 = rasterize(means, shs, opa, scales, quats, cam, bg, 1,
+                           screen_abs=sabs, **kw)
+            return jnp.mean(
+                jnp.stack([(o0.image - gt0) ** 2, (o1.image - gt1) ** 2])
+            )
+
+        g = jax.jit(jax.grad(joint))(jnp.zeros((N, 2)))
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(g), rtol=1e-5, atol=1e-7
+        )
