@@ -274,6 +274,7 @@ class SurfelViewRenders:
     dist: jnp.ndarray          # (V, H, W) distortion map
     rend_normal: jnp.ndarray   # (V, H, W, 3) world-space rendered normal
     depth_normal: jnp.ndarray  # (V, H, W, 3) depth-derived pseudo normal
+    sel_abs: jnp.ndarray | None = None  # (V, N, 2) fused AbsGS selection
 
 
 class DensifierStage(nn.Module):
@@ -473,13 +474,16 @@ class Network(nn.Module):
         scales = jnp.exp(scaling_raw)
 
         # 2DGS surfel path (tpu.renderer=2dgs; reference swaps the renderer
-        # import, lightning/network.py:9-10).  The gradient-selection pass
-        # (screen args present) stays on the 3DGS rasterizer, whose backward
-        # provides the AbsGS screen-gradient channels (means2D.grad[:,2:4]).
+        # import, lightning/network.py:9-10).  Fused selection (sel_gt)
+        # rides the surfel rasterizer's own AbsGS screen-translation
+        # backward (the reference closure consumes the active renderer's
+        # means2D.grad[:, 2:4]); only the isolated-closure pass (explicit
+        # screen args) falls through to the 3DGS rasterizer.
         if (cfg.renderer == "2dgs" and screen_offset is None
-                and screen_abs is None and sel_gt is None):
+                and screen_abs is None):
             return self._render_views_2dgs(
-                cams, bgs, centers, shs, opacity, scales, rotation_raw
+                cams, bgs, centers, shs, opacity, scales, rotation_raw,
+                sel_gt=sel_gt,
             )
 
         N_g = centers.shape[0]
@@ -530,13 +534,13 @@ class Network(nn.Module):
         return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
 
     def _render_views_2dgs(self, cams, bgs, centers, shs, opacity, scales,
-                           rotation_raw):
+                           rotation_raw, sel_gt=None):
         """Surfel rasterization of one sample's views + the 2DGS auxiliary
         maps (``renderer_2dgs.py:224-269``): surf_depth blend, world-space
         rendered normal, depth->normal lift, distortion."""
         cfg = self.cfg
 
-        def one(cam, bg):
+        def one(cam, bg, gt):
             out = rasterize_surfels(
                 centers,
                 shs,
@@ -552,6 +556,7 @@ class Network(nn.Module):
                 chunk=cfg.raster_chunk,
                 backend=cfg.backend,
                 enum_tiles=cfg.enum_tiles or None,
+                sel_gt=gt,
             )
             alpha = out.alpha
             exp_norm = out.depth_expected / jnp.maximum(alpha, 1e-6)
@@ -572,12 +577,19 @@ class Network(nn.Module):
                 dist=out.dist,
                 rend_normal=rend_normal,
                 depth_normal=d_normal,
+                sel_abs=out.sel_abs,
             )
 
         if cfg.remat_renders:
-            one = jax.checkpoint(one)
+            one = jax.checkpoint(
+                one,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "sel_abs"
+                ),
+            )
         outs = [
-            one(jax.tree.map(lambda x: x[j], cams), bgs[j])
+            one(jax.tree.map(lambda x: x[j], cams), bgs[j],
+                None if sel_gt is None else sel_gt[j])
             for j in range(bgs.shape[0])
         ]
         return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
@@ -654,7 +666,7 @@ class Network(nn.Module):
 
         gs_all = (centers, shs_c, opacity_c, scaling_c, rotation_c, all_valid)
 
-        share_sel = with_fine and cfg.renderer == "3dgs" and cfg.share_selection
+        share_sel = with_fine and cfg.share_selection
         if share_sel:
             # Fused coarse render + gradient-guided selection (reference
             # network.py:842-896 runs a SECOND full render of the source

@@ -290,6 +290,18 @@ def composite_tiles_sel(
     return (*out, sel_abs)
 
 
+def mse_image_cotangent(image, gt):
+    """d/d image of mean((clip(image)[:H,:W] - gt)^2) at tile-padded
+    resolution; clip passes gradient on [0, 1] inclusive (matches
+    torch.clamp in renderer.py:261).  Shared by the 3DGS and surfel fused
+    selection passes."""
+    H, W = gt.shape[:2]
+    img_c = jnp.clip(image[:H, :W], 0.0, 1.0)
+    inside = (image[:H, :W] >= 0.0) & (image[:H, :W] <= 1.0)
+    cot_img = jnp.where(inside, (2.0 / (H * W * 3)) * (img_c - gt), 0.0)
+    return jnp.zeros_like(image).at[:H, :W].set(cot_img)
+
+
 def _fwd_sel_impl(xy, conic, color, opacity, depth, bg, gt, bins_arrays,
                   tiles_x, tiles_y, tile_size, max_per_tile, chunk, backend,
                   n_slots=0):
@@ -299,13 +311,7 @@ def _fwd_sel_impl(xy, conic, color, opacity, depth, bg, gt, bins_arrays,
         tiles_x, tiles_y, tile_size, max_per_tile, chunk, backend, n_slots,
     )
     image = out[0]
-    H, W = gt.shape[:2]
-    # d/d image of mean((clip(image)[:H,:W] - gt)^2); clip passes gradient
-    # on [0, 1] inclusive (matches torch.clamp in renderer.py:261)
-    img_c = jnp.clip(image[:H, :W], 0.0, 1.0)
-    inside = (image[:H, :W] >= 0.0) & (image[:H, :W] <= 1.0)
-    cot_img = jnp.where(inside, (2.0 / (H * W * 3)) * (img_c - gt), 0.0)
-    cot_full = jnp.zeros_like(image).at[:H, :W].set(cot_img)
+    cot_full = mse_image_cotangent(image, gt)
     cot = (
         jax.lax.stop_gradient(cot_full),
         jnp.zeros_like(out[1]),

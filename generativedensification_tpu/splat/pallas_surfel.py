@@ -344,7 +344,7 @@ def _bwd_kernel(
     cot_in, tot_in,
     zeros_in, grad_hbm,
     buf, gbuf, sem, gsem,
-    *, tiles_x: int, ts: int,
+    *, tiles_x: int, ts: int, with_sel: bool = False,
 ):
     t = pl.program_id(0)
     start = starts_ref[t]
@@ -468,6 +468,24 @@ def _bwd_kernel(
         Xg = Xl + ox
         Yg = Yl + oy
         rsum = lambda v: jnp.sum(v, axis=1, keepdims=True)   # (CHUNK, 1)
+        if with_sel:
+            # AbsGS screen-translation rows (sel invocations only: the
+            # image-MSE cotangent makes gz = 0, so d_cr* are pure power
+            # terms).  Translating a surfel by (ox, oy) perturbs
+            # a -> a - B·ox - C·oy (3D branch) and the filter center
+            # p -> p + o (2D branch); per pixel exactly one branch is
+            # live, so the terms never mix.
+            gx_px = (
+                -(d_crx * col(_BX) + d_cry * col(_BY) + d_crz * col(_BZ))
+                + g2 * dxl * (1.0 / FILTER_2D_VAR)
+            )
+            gy_px = (
+                -(d_crx * col(_CX) + d_cry * col(_CY) + d_crz * col(_CZ))
+                + g2 * dyl * (1.0 / FILTER_2D_VAR)
+            )
+            sel_rows = [rsum(jnp.abs(gx_px)), rsum(jnp.abs(gy_px))]
+        else:
+            sel_rows = []
         gradT = jnp.concatenate(
             [
                 rsum(d_crx), rsum(d_cry), rsum(d_crz),
@@ -479,7 +497,10 @@ def _bwd_kernel(
                 rsum(g_power) / jnp.maximum(col(_OPA), 1e-12),
                 rsum(W * cot[0:1]), rsum(W * cot[1:2]), rsum(W * cot[2:3]),
                 rsum(W * cot[3:4]), rsum(W * cot[4:5]), rsum(W * cot[5:6]),
-                jnp.zeros((CHUNK, SLAB_W2 - N_ATTR), jnp.float32),
+                *sel_rows,
+                jnp.zeros(
+                    (CHUNK, SLAB_W2 - N_ATTR - len(sel_rows)), jnp.float32
+                ),
             ],
             axis=1,
         )  # (CHUNK, SLAB_W2) — grad rows mirror the attribute layout
@@ -519,10 +540,13 @@ def _bwd_kernel(
         dma_out(jax.lax.rem(c - 1, 2), c - 1).wait()
 
 
-def pallas_surfel_bwd(saved, cot, tiles_x, tiles_y, tile_size):
-    """Hand-written backward: returns grads for (acr, bcr, ccr, det, xy,
-    color, opacity, normal, bg) — the differentiable args of
-    ``composite_surfels`` minus znear/zfar/bins (handled by the caller)."""
+def pallas_surfel_bwd(saved, cot, tiles_x, tiles_y, tile_size,
+                      with_sel: bool = False):
+    """Hand-written backward: returns ``(grads, sel_abs)`` where grads are
+    for (acr, bcr, ccr, det, xy, color, opacity, normal, bg) — the
+    differentiable args of ``composite_surfels`` minus znear/zfar/bins
+    (handled by the caller) — and ``sel_abs`` is the (N, 2) AbsGS
+    screen-translation rows when ``with_sel`` (None otherwise)."""
     from .composite import (
         APOS_MODE, _grad_slab_width, _reduce_grad_rows, _slab_maps, _tile,
     )
@@ -600,7 +624,9 @@ def pallas_surfel_bwd(saved, cot, tiles_x, tiles_y, tile_size):
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kernel = functools.partial(_bwd_kernel, tiles_x=tiles_x, ts=tile_size)
+    kernel = functools.partial(
+        _bwd_kernel, tiles_x=tiles_x, ts=tile_size, with_sel=with_sel
+    )
     grad_al = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((SLAB_W2, M), jnp.float32),
@@ -628,4 +654,6 @@ def pallas_surfel_bwd(saved, cot, tiles_x, tiles_y, tile_size):
     d_col = g[:, _R:_R + 3]
     d_nrm = g[:, _NX:_NX + 3]
     d_bg = jnp.einsum("tpc,tp->c", gC, Tfin_t)
-    return (d_acr, d_bcr, d_ccr, d_det, d_xy, d_col, d_opa, d_nrm, d_bg)
+    grads = (d_acr, d_bcr, d_ccr, d_det, d_xy, d_col, d_opa, d_nrm, d_bg)
+    sel_abs = g[:, N_ATTR:N_ATTR + 2] if with_sel else None
+    return grads, sel_abs

@@ -60,6 +60,8 @@ class SurfelOutput:
     dist: jnp.ndarray         # (H, W) distortion accumulator
     radii: jnp.ndarray        # (N,)
     overflow: jnp.ndarray
+    sel_abs: jnp.ndarray | None = None  # (N, 2) AbsGS selection grads
+                                        # (only with rasterize_surfels(sel_gt=...))
 
 
 def _rot_cols(q):
@@ -187,6 +189,7 @@ def rasterize_surfels(
     chunk: int = 32,
     backend: str = "auto",
     enum_tiles: int | None = None,
+    sel_gt: jnp.ndarray | None = None,
 ) -> SurfelOutput:
     """Differentiably splat N activated surfels into one camera.
 
@@ -194,6 +197,14 @@ def rasterize_surfels(
     Surfels carry a zero conic, so the ellipse cull bound is 0 <= tau and
     never fires — the window only controls how many rect tiles can be
     binned per surfel before the ``max_tiles`` budget drops live pairs.
+
+    ``sel_gt``: optional (H, W, 3) ground truth; when given, the output
+    additionally carries ``sel_abs`` — per-surfel absolute screen-
+    translation gradients of the image MSE (the fused-selection analog of
+    the 3DGS path's ``composite_tiles_sel``; the reference's 2DGS closure
+    consumes ``means2D.grad[:, 2:4]`` of the surfel fork,
+    ``network.py:865-878``) computed from the shared forward without a
+    second rasterization.
     """
     H, W = camera.height, camera.width
     N = means3d.shape[0]
@@ -216,18 +227,31 @@ def rasterize_surfels(
     )
 
     opacity_eff = jnp.where(valid, proj.opacity, 0.0)
-    maps = composite_surfels(
+    comp_args = (
         acr, bcr, ccr, det, xy, color, opacity_eff, n_view,
         bg.astype(jnp.float32),
         jnp.asarray(camera.znear, jnp.float32),
         jnp.asarray(camera.zfar, jnp.float32),
-        (bins.sorted_ids, bins.sorted_o, bins.sorted_valid,
-         bins.sorted_rank, bins.depth_order,
-         # clamp the per-tile cap into the counts once so both backends
-         # composite the same slots on overflow (rasterizer.py rationale)
-         bins.tile_starts, jnp.minimum(bins.tile_counts, max_per_tile)),
-        bins.tiles_x, bins.tiles_y, tile_size, max_per_tile, chunk, backend,
     )
+    bins_arrays = (
+        bins.sorted_ids, bins.sorted_o, bins.sorted_valid,
+        bins.sorted_rank, bins.depth_order,
+        # clamp the per-tile cap into the counts once so both backends
+        # composite the same slots on overflow (rasterizer.py rationale)
+        bins.tile_starts, jnp.minimum(bins.tile_counts, max_per_tile),
+    )
+    dims = (bins.tiles_x, bins.tiles_y, tile_size, max_per_tile, chunk,
+            backend)
+    sel_abs = None
+    if sel_gt is not None:
+        *maps, sel_abs = composite_surfels_sel(
+            *comp_args, sel_gt.astype(jnp.float32), bins_arrays, *dims
+        )
+        from jax.ad_checkpoint import checkpoint_name
+
+        sel_abs = checkpoint_name(sel_abs, "sel_abs")
+    else:
+        maps = composite_surfels(*comp_args, bins_arrays, *dims)
     cap_overflow = jnp.sum(
         jnp.maximum(bins.tile_counts - max_per_tile, 0)
     ).astype(jnp.int32)
@@ -241,6 +265,7 @@ def rasterize_surfels(
         dist=dist[:H, :W],
         radii=radius,
         overflow=bins.overflow + cap_overflow,
+        sel_abs=sel_abs,
     )
 
 
@@ -301,7 +326,7 @@ def _composite_bwd(tiles_x, tiles_y, tile_size, max_per_tile, chunk, backend,
     if backend == "pallas":
         from .pallas_surfel import pallas_surfel_bwd
 
-        grads = pallas_surfel_bwd(
+        grads, _ = pallas_surfel_bwd(
             saved, cot, tiles_x, tiles_y, tile_size,
         )
     else:
@@ -325,6 +350,104 @@ def _composite_bwd(tiles_x, tiles_y, tile_size, max_per_tile, chunk, backend,
 
 
 composite_surfels.defvjp(_composite_fwd, _composite_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused composite + AbsGS selection grads (shared-forward selection)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16, 17, 18))
+def composite_surfels_sel(
+    acr, bcr, ccr, det, xy, color, opacity, normal, bg, znear, zfar,
+    gt, bins_arrays,
+    tiles_x: int, tiles_y: int, tile_size: int,
+    max_per_tile: int, chunk: int, backend: str = "xla",
+):
+    """``composite_surfels`` that ALSO emits the AbsGS selection grads.
+
+    ``sel_abs`` (N, 2) = per-pixel-absolute screen-translation gradients
+    of the image MSE against ``gt``: translating a surfel by (ox, oy) in
+    screen space perturbs its affine intersection coefficients
+    (a -> a - B·ox - C·oy) and its 2D-filter center (p -> p + o), so the
+    per-pixel gradient is a branch-select of terms the backward already
+    forms.  Mirrors ``composite.composite_tiles_sel``: one extra
+    (stop-gradient) backward application with the closed-form MSE
+    cotangent, zero second rasterization; sel_abs is a zero-gradient
+    primal output."""
+    out, _, sel_abs = _fwd_sel_impl(
+        acr, bcr, ccr, det, xy, color, opacity, normal, bg, znear, zfar,
+        gt, bins_arrays, tiles_x, tiles_y, tile_size, max_per_tile, chunk,
+        backend,
+    )
+    return (*out, sel_abs)
+
+
+def _fwd_sel_impl(acr, bcr, ccr, det, xy, color, opacity, normal, bg,
+                  znear, zfar, gt, bins_arrays, tiles_x, tiles_y, tile_size,
+                  max_per_tile, chunk, backend):
+    from .composite import mse_image_cotangent
+
+    out, res = _fwd_impl(
+        acr, bcr, ccr, det, xy, color, opacity, normal, bg, znear, zfar,
+        bins_arrays, tiles_x, tiles_y, tile_size, max_per_tile, chunk,
+        backend,
+    )
+    cot_full = jax.lax.stop_gradient(mse_image_cotangent(out[0], gt))
+    sg = jax.lax.stop_gradient
+    if backend == "pallas":
+        from .pallas_surfel import pallas_surfel_bwd
+
+        cot = (
+            cot_full,
+            jnp.zeros_like(out[1]), jnp.zeros_like(out[2]),
+            jnp.zeros_like(out[3]), jnp.zeros_like(out[4]),
+            jnp.zeros_like(out[5]),
+        )
+        saved_sel = (
+            sg(acr), sg(bcr), sg(ccr), sg(det), sg(xy), sg(color),
+            sg(opacity), sg(normal), sg(bg), znear, zfar, bins_arrays,
+            sg(res), jax.tree.map(sg, out),
+        )
+        _, sel_abs = pallas_surfel_bwd(
+            saved_sel, cot, tiles_x, tiles_y, tile_size, with_sel=True
+        )
+    else:
+        sel_abs = _xla_sel_abs(
+            sg(acr), sg(bcr), sg(ccr), sg(det), sg(xy), sg(color),
+            sg(opacity), sg(bg), cot_full, jax.tree.map(sg, out),
+            bins_arrays, tiles_x, tiles_y, tile_size, max_per_tile, chunk,
+        )
+    return out, res, jax.lax.stop_gradient(sel_abs)
+
+
+def _composite_sel_fwd(acr, bcr, ccr, det, xy, color, opacity, normal, bg,
+                       znear, zfar, gt, bins_arrays, tiles_x, tiles_y,
+                       tile_size, max_per_tile, chunk, backend="xla"):
+    out, res, sel_abs = _fwd_sel_impl(
+        acr, bcr, ccr, det, xy, color, opacity, normal, bg, znear, zfar,
+        gt, bins_arrays, tiles_x, tiles_y, tile_size, max_per_tile, chunk,
+        backend,
+    )
+    saved = (acr, bcr, ccr, det, xy, color, opacity, normal, bg, znear, zfar,
+             bins_arrays, res, out, jax.lax.stop_gradient(gt))
+    return (*out, sel_abs), saved
+
+
+def _composite_sel_bwd(tiles_x, tiles_y, tile_size, max_per_tile, chunk,
+                       backend, saved, cot):
+    *saved_inner, gt = saved
+    *cot_out, _cot_sel = cot   # sel_abs is a zero-gradient primal output
+    grads = _composite_bwd(
+        tiles_x, tiles_y, tile_size, max_per_tile, chunk, backend,
+        tuple(saved_inner), tuple(cot_out),
+    )
+    # _composite_bwd returns (*9 arg grads, d_znear, d_zfar, d_bins);
+    # insert the zero gt grad between zfar and bins
+    return (*grads[:11], jnp.zeros_like(gt), grads[11])
+
+
+composite_surfels_sel.defvjp(_composite_sel_fwd, _composite_sel_bwd)
 
 
 def _xla_scan_fwd(acr, bcr, ccr, det, xy, color, opacity, normal, bg,
@@ -443,6 +566,135 @@ def _xla_scan_fwd(acr, bcr, ccr, det, xy, color, opacity, normal, bg,
         un(image, 3), un(alpha_map, 1)[..., 0], un(Dexp, 1)[..., 0],
         un(Dmed, 1)[..., 0], un(Nacc, 3), un(dist, 1)[..., 0],
     )
+
+
+def _xla_sel_abs(acr, bcr, ccr, det, xy, color, opacity, bg, cot_full, out,
+                 bins_arrays, tiles_x, tiles_y, tile_size, max_per_tile,
+                 chunk):
+    """Ground-truth AbsGS selection grads for the XLA backend.
+
+    Hand-written image-path backward (the scan backend's normal grads come
+    from autodiff, which cannot produce per-pixel ABS accumulation): per
+    pixel, g_alpha via the suffix trick with the image-MSE cotangent, then
+    the screen-translation chain — 3D branch through the affine
+    coefficients (∂cr/∂ox = -B, ∂cr/∂oy = -C), 2D branch through the
+    filter center — abs-summed per pixel into (N, 2)."""
+    from .composite import _tile
+
+    ids, _, s_ok_full, _, _, starts, counts = bins_arrays
+    N = xy.shape[0]
+    ts = tile_size
+    npix = ts * ts
+    n_chunks = -(-max_per_tile // chunk)
+    X, Y = _tile_pixel_coords(tiles_x, tiles_y, ts)
+
+    image, alpha_map = out[0], out[1]
+    cot_t = _tile(cot_full, tiles_x, tiles_y, ts)         # (T, npix, 3)
+    T_fin = _tile((1.0 - alpha_map)[..., None], tiles_x, tiles_y, ts)[..., 0]
+    img_t = _tile(image, tiles_x, tiles_y, ts)
+    # G = Σ cw·w = cot · (image - T_fin·bg);  gTf = (cot·bg)·T_fin
+    C_t = img_t - T_fin[..., None] * bg[None, None, :]
+    G = jnp.einsum("tpc,tpc->tp", cot_t, C_t)
+    gTf = jnp.einsum("tpc,c->tp", cot_t, bg) * T_fin
+
+    coef = jnp.concatenate(
+        [acr, bcr, ccr, det[:, None], xy, color, opacity[:, None]], axis=-1,
+    )  # (N, 16)
+    s_coef = jnp.take(coef, ids, axis=0)
+    P = s_coef.shape[0]
+
+    def step(carry, c):
+        T, pref, acc = carry
+        base = (
+            starts[:, None] + c * chunk
+            + jnp.arange(chunk, dtype=jnp.int32)[None, :]
+        )
+        in_range = (base - starts[:, None]) < counts[:, None]
+        idx = jnp.clip(base, 0, P - 1)
+        g = jnp.take(s_coef, idx.reshape(-1), axis=0).reshape(*idx.shape, 16)
+        gok = (
+            jnp.take(s_ok_full, idx.reshape(-1), axis=0).reshape(idx.shape)
+            & in_range
+        )
+
+        xs = X[:, None, :]
+        ys = Y[:, None, :]
+        crx = g[..., 0:1] + xs * g[..., 3:4] + ys * g[..., 6:7]
+        cry = g[..., 1:2] + xs * g[..., 4:5] + ys * g[..., 7:8]
+        crz = g[..., 2:3] + xs * g[..., 5:6] + ys * g[..., 8:9]
+        safe = jnp.where(jnp.abs(crz) < 1e-8, 1e-8, crz)
+        rz = 1.0 / safe
+        u = crx * rz
+        v = cry * rz
+        g3d = -0.5 * (u * u + v * v)
+        dx = xs - g[..., 10:11]
+        dy = ys - g[..., 11:12]
+        g2d = -0.5 * (dx * dx + dy * dy) / FILTER_2D_VAR
+        power = jnp.maximum(g3d, g2d)
+        zhit = g[..., 9:10] * rz
+        alpha = jnp.minimum(ALPHA_MAX, g[..., 15:16] * jnp.exp(power))
+        ok = (
+            (power <= 0.0) & (alpha >= ALPHA_MIN) & gok[..., None]
+            & (zhit > NEAR_CULL)
+        )
+        alpha = jnp.where(ok, alpha, 0.0)
+
+        one_m = 1.0 - alpha
+        cum = jnp.cumprod(one_m, axis=1)
+        T_exc = jnp.concatenate(
+            [jnp.ones_like(cum[:, :1]), cum[:, :-1]], axis=1
+        ) * T[:, None, :]
+        U = T_exc * one_m
+        include = (U >= T_EPS).astype(alpha.dtype)
+        Tinc = T_exc * include
+        w = alpha * Tinc
+
+        cw = jnp.einsum("tkc,tpc->tkp", g[..., 12:15], cot_t)
+        # inclusive per-chunk prefix of Σ cw·w (suffix trick)
+        pref_rows = pref[:, None, :] + jnp.cumsum(cw * w, axis=1)
+        suffix = G[:, None, :] - pref_rows
+        inv_1ma = 1.0 / jnp.maximum(1.0 - alpha, 1.0 - ALPHA_MAX)
+        inc_m = (Tinc > 0.0).astype(alpha.dtype)
+        g_alpha = inc_m * (cw * Tinc - (suffix + gTf[:, None, :]) * inv_1ma)
+        not_clamped = (alpha < ALPHA_MAX).astype(alpha.dtype)
+        g_power = g_alpha * not_clamped * alpha
+
+        sel3 = (g3d >= g2d).astype(alpha.dtype)
+        g3 = g_power * sel3
+        g2 = g_power * (1.0 - sel3)
+        rz2 = rz * rz
+        d_crx = -crx * rz2 * g3
+        d_cry = -cry * rz2 * g3
+        d_crz = (crx * crx + cry * cry) * rz2 * rz * g3
+        gx = (
+            -(d_crx * g[..., 3:4] + d_cry * g[..., 4:5] + d_crz * g[..., 5:6])
+            + g2 * dx / FILTER_2D_VAR
+        )
+        gy = (
+            -(d_crx * g[..., 6:7] + d_cry * g[..., 7:8] + d_crz * g[..., 8:9])
+            + g2 * dy / FILTER_2D_VAR
+        )
+        sax = jnp.sum(jnp.abs(gx), axis=-1)            # (T, K)
+        say = jnp.sum(jnp.abs(gy), axis=-1)
+        gid = jnp.take(ids, idx.reshape(-1), axis=0)
+        acc = acc.at[gid].add(
+            jnp.stack([sax.reshape(-1), say.reshape(-1)], axis=-1)
+        )
+
+        T = T * jnp.prod(1.0 - alpha * include, axis=1)
+        pref = pref_rows[:, -1, :]
+        return (T, pref, acc), None
+
+    num_tiles = tiles_x * tiles_y
+    init = (
+        jnp.ones((num_tiles, npix), jnp.float32),
+        jnp.zeros((num_tiles, npix), jnp.float32),
+        jnp.zeros((N, 2), jnp.float32),
+    )
+    (_, _, acc), _ = jax.lax.scan(
+        jax.checkpoint(step), init, jnp.arange(n_chunks, dtype=jnp.int32)
+    )
+    return acc
 
 
 def depth_to_normal(depth: jnp.ndarray, rays: jnp.ndarray, alpha: jnp.ndarray):
