@@ -273,3 +273,23 @@ class TestSurfelSelection:
         np.testing.assert_allclose(
             np.asarray(ox.image), np.asarray(plain.image), atol=1e-6
         )
+
+    def test_sel_abs_backend_parity_with_clamped_cap(self):
+        """Fused selection grads stay backend-exact when tiles overflow
+        max_per_tile (the sel backward rides the clamped aligned grad
+        layout)."""
+        from generativedensification_tpu.splat.surfel import rasterize_surfels
+
+        means, shs, opa, scales, quats, cam, bg, gt = self._tiny(n=40, seed=8)
+        kw = dict(tile_size=16, max_tiles=4, max_per_tile=32, chunk=32,
+                  enum_tiles=4, sh_degree=1, sel_gt=gt)
+        ox = rasterize_surfels(means, shs, opa, scales, quats, cam, bg,
+                               backend="xla", **kw)
+        assert int(ox.overflow) > 0  # the cap must actually clamp
+        op = rasterize_surfels(means, shs, opa, scales, quats, cam, bg,
+                               backend="pallas", **kw)
+        scale = max(1e-8, float(jnp.abs(ox.sel_abs).max()))
+        np.testing.assert_allclose(
+            np.asarray(ox.sel_abs) / scale, np.asarray(op.sel_abs) / scale,
+            atol=1e-4,
+        )
