@@ -32,6 +32,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: the chain compile is ~3-4 min on a 1-core
+    # host; repeated bench runs on an unchanged commit become ~free
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from generativedensification_tpu.core.camera import Camera
     from generativedensification_tpu.core.transforms import normalize_quat
     from generativedensification_tpu.splat import rasterize

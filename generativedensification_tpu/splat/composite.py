@@ -581,7 +581,13 @@ import os
 #                of one extra (N, 16) gather back to gaussian order
 #   *_dsum     — replace the slot-reduce kernel with D separate (N,)-index
 #                gathers summed elementwise (no RED_BN padding, no kernel)
-APOS_MODE = os.environ.get("GD_APOS_MODE", "gauss")
+#
+# MEASURED (v5e, 512²/131k, chained protocol, 2026-08-19): gauss_dsum
+# 24.2 ms/render vs gauss 35.0 — the (N·D)-row gather + RED_BN-padded
+# Pallas reduce loses to D fused (N,16)-row gathers+adds by ~11ms; the
+# fused form never materializes the (N·D, 16) intermediate and keeps XLA
+# free to pipeline the 4 gathers.  gauss_dsum is therefore the default.
+APOS_MODE = os.environ.get("GD_APOS_MODE", "gauss_dsum")
 
 
 def _rank_of_id(depth_order):
