@@ -33,8 +33,17 @@ def main():
     import jax.numpy as jnp
 
     # persistent compile cache: the chain compile is ~3-4 min on a 1-core
-    # host; repeated bench runs on an unchanged commit become ~free
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    # host; repeated bench runs on an unchanged commit become ~free.
+    # JAX_COMPILATION_CACHE_DIR overrides; default is per-user to avoid
+    # cross-user permission collisions on shared hosts.
+    import getpass
+    import tempfile
+
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(tempfile.gettempdir(), f"jaxcache-{getpass.getuser()}"),
+    )
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from generativedensification_tpu.core.camera import Camera

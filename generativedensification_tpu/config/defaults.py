@@ -67,6 +67,14 @@ BASE = {
         "non_leaf_ratio": [0.8],
         "mask_sampling_type": "topk",
         "enable_residual_attribute": False,
+        # TPU static stand-in for the reference's dynamic opacity mask
+        # (network.py:804-805 `sigmoid(op) > 0.005` + _check_mask random
+        # thinning :725-732): the fine stage keeps the top `mask_pool`
+        # points by opacity.  Training default 49152 bounds memory like
+        # the reference's random-50% thinning bounds it; set to n_voxels
+        # (262144 at 64^3) for the EXACT mask semantics — evaluation.py
+        # does this automatically (see INFER below).
+        "mask_pool": 49152,
     },
     "train_dataset": {
         "dataset_name": "gobjeverse",
@@ -127,6 +135,10 @@ BASE = {
 
 INFER = {
     "n_views": 4,
+    # eval-exact opacity mask: pool = n_voxels (64^3), so the fine union
+    # is provably the reference's unbounded `sigmoid(op) > 0.005` set
+    # (network.py:804-805 — no _check_mask thinning at eval)
+    "model": {"mask_pool": 262144},
     "infer": {
         "dataset": {
             "dataset_name": "GSO",

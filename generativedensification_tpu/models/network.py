@@ -770,11 +770,20 @@ class Network(nn.Module):
             )  # (B, N)
 
         # -- static opacity pool: top mask_pool by opacity (stands in for
-        #    the boolean opacity mask, exact when pool >= true mask count)
-        M = cfg.mask_pool
-        pool_idx = topk_split(
-            jax.lax.stop_gradient(opacity_act), jnp.ones_like(opacity_ok), M
-        )[0]
+        #    the boolean opacity mask, exact when pool >= true mask count).
+        #    mask_pool >= N (the eval config sets n_voxels, defaults.py
+        #    INFER) short-circuits to the identity: the pool IS the full
+        #    point set, so the fine union equals the reference's unbounded
+        #    `sigmoid(op) > 0.005` mask (network.py:804-805) exactly.
+        M = min(cfg.mask_pool, N)
+        if M == N:
+            pool_idx = jnp.broadcast_to(
+                jnp.arange(N, dtype=jnp.int32)[None], (B, N)
+            )
+        else:
+            pool_idx = topk_split(
+                jax.lax.stop_gradient(opacity_act), jnp.ones_like(opacity_ok), M
+            )[0]
         take2 = lambda a: jnp.take_along_axis(a, pool_idx[..., None], axis=1)
         take1 = lambda a: jnp.take_along_axis(a, pool_idx, axis=1)
         pool_valid = take1(opacity_ok)

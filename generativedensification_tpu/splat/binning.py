@@ -29,10 +29,11 @@ class TileBins:
     """Depth-ordered tile slabs for one view."""
 
     sorted_ids: jnp.ndarray    # (P,) gaussian index per sorted slot
-    sorted_o: jnp.ndarray      # (P,) original (N*max_tiles) slot index per
-                               # sorted slot (sorted_ids == sorted_o // D);
-                               # lets the backward invert the sort with a
-                               # cheap 1-D sort instead of a 17ms row scatter
+    sorted_o: jnp.ndarray      # (P,) original slot index per sorted slot,
+                               # SLOT-MAJOR: o = d * N + gaussian (so
+                               # sorted_ids == sorted_o % N); lets the
+                               # backward invert the sort with a cheap 1-D
+                               # sort instead of a 17ms row scatter
     sorted_valid: jnp.ndarray  # (P,) bool, live slot
     sorted_rank: jnp.ndarray   # (P,) global depth rank per sorted slot —
                                # PIECEWISE-INCREASING (slots are depth-
@@ -121,13 +122,19 @@ def bin_gaussians(
     n_cover = jnp.where(valid, rect_w * rect_h, 0)       # (N,)
 
     # enumerate E >= D rect tiles, cull non-touching ones, compact the
-    # survivors into the D = max_tiles slot budget (mask-only when E == D)
+    # survivors into the D = max_tiles slot budget (mask-only when E == D).
+    # ALL (slot, gaussian) intermediates are slot-major (E, N): a 4-wide
+    # minor dim is physically padded to 128 lanes by the TPU's T(8,128)
+    # tiling, so every (N, 4) broadcast/reshape moved 32x its logical
+    # bytes (~80us each, ~2.5ms/render of pure padding traffic at 131k);
+    # (E, N) forms are fully lane-packed and the final flatten to the
+    # d-major slot order is a free bitcast.
     E = max_tiles if enum_tiles is None else max(enum_tiles, max_tiles)
-    e = jnp.arange(E, dtype=jnp.int32)[None, :]          # (1, E)
-    safe_w = jnp.maximum(rect_w, 1)[:, None]
-    tile_x = rmin_x[:, None] + e % safe_w
-    tile_y = rmin_y[:, None] + e // safe_w
-    in_rect = (e < n_cover[:, None]) & valid[:, None]    # (N, E)
+    e = jnp.arange(E, dtype=jnp.int32)[:, None]          # (E, 1)
+    safe_w = jnp.maximum(rect_w, 1)[None, :]
+    tile_x = rmin_x[None, :] + e % safe_w
+    tile_y = rmin_y[None, :] + e // safe_w
+    in_rect = (e < n_cover[None, :]) & valid[None, :]    # (E, N)
 
     # SAFE max-alpha-over-tile bound.  q(v) = 0.5 a vx² + b vx vy +
     # 0.5 c vy² (the compositor's power is -q), M = [[a, b], [b, c]]:
@@ -157,35 +164,37 @@ def bin_gaussians(
     tau = jnp.log(jnp.maximum(opacity, 1e-12) * 255.0)   # ALPHA_MIN = 1/255
 
     half = (tile_size - 1) * 0.5                         # pixel-center rect
-    tcx = tile_x.astype(jnp.float32) * tile_size + half  # (N, E)
+    tcx = tile_x.astype(jnp.float32) * tile_size + half  # (E, N)
     tcy = tile_y.astype(jnp.float32) * tile_size + half
-    cx = xy[:, 0:1] - tcx
-    cy = xy[:, 1:2] - tcy
+    cx = xy[None, :, 0] - tcx
+    cy = xy[None, :, 1] - tcy
     dxr = jnp.maximum(jnp.abs(cx) - half, 0.0)
     dyr = jnp.maximum(jnp.abs(cy) - half, 0.0)
-    bound = 0.5 * lam_min[:, None] * (dxr * dxr + dyr * dyr)
+    bound = 0.5 * lam_min[None, :] * (dxr * dxr + dyr * dyr)
     du = jnp.maximum(
-        jnp.abs(cx * ux[:, None] + cy * uy[:, None])
-        - half * (jnp.abs(ux) + jnp.abs(uy))[:, None],
+        jnp.abs(cx * ux[None, :] + cy * uy[None, :])
+        - half * (jnp.abs(ux) + jnp.abs(uy))[None, :],
         0.0,
     )
-    bound = jnp.maximum(bound, 0.5 * lam_max[:, None] * du * du)
-    touch = in_rect & (bound <= tau[:, None])            # (N, E)
+    bound = jnp.maximum(bound, 0.5 * lam_max[None, :] * du * du)
+    touch = in_rect & (bound <= tau[None, :])            # (E, N)
 
     if E == max_tiles:
         # rects fit the enumeration window: cull by masking, no sort
-        tile_id = tile_y * tiles_x + tile_x              # (N, D)
+        tile_id = tile_y * tiles_x + tile_x              # (D, N)
         slot_valid = touch
-        n_touch = jnp.sum(touch.astype(jnp.int32), axis=1)
+        n_touch = jnp.sum(touch.astype(jnp.int32), axis=0)
     else:
-        # stable compaction: touching tiles first (rect order preserved)
+        # stable compaction: touching tiles first (rect order preserved);
+        # sorting along the E (sublane) axis is N independent tiny
+        # networks — lane-parallel, no padded minor dim
         ckey = jnp.where(touch, e, E + e)
         ckey, tile_id_e = jax.lax.sort(
-            (ckey, tile_y * tiles_x + tile_x), dimension=1, num_keys=1
+            (ckey, tile_y * tiles_x + tile_x), dimension=0, num_keys=1
         )
-        tile_id = tile_id_e[:, :max_tiles]               # (N, D)
-        slot_valid = ckey[:, :max_tiles] < E
-        n_touch = jnp.sum(touch.astype(jnp.int32), axis=1)
+        tile_id = tile_id_e[:max_tiles]                  # (D, N)
+        slot_valid = ckey[:max_tiles] < E
+        n_touch = jnp.sum(touch.astype(jnp.int32), axis=0)
     overflow = (
         jnp.sum(jnp.maximum(n_touch - max_tiles, 0))
         + jnp.sum(jnp.maximum(n_cover - E, 0))
@@ -197,27 +206,27 @@ def bin_gaussians(
         # tiles of the image).  Rank histogram + cumsum finds the depth-
         # rank cutoff that fits the budget; all 1-D int32 ops (~1ms at 1M).
         P = min(-(-int(max_pairs) // 1024) * 1024, N * max_tiles)
-        pair_rank = jnp.where(slot_valid, rank[:, None], N).reshape(-1)
+        pair_rank = jnp.where(slot_valid, rank[None, :], N).reshape(-1)
         per_rank = jnp.zeros((N + 1,), jnp.int32).at[pair_rank].add(1)
         cum = jnp.cumsum(per_rank[:-1])            # pairs up to each rank
         keep_rank = cum <= P                       # (N,) per depth rank
         n_live = jnp.sum(slot_valid.astype(jnp.int32))
         kept = jnp.sum(jnp.where(keep_rank, per_rank[:-1], 0))
         overflow = overflow + (n_live - kept)
-        slot_valid = slot_valid & keep_rank[rank][:, None]
+        slot_valid = slot_valid & keep_rank[rank][None, :]
     else:
         P = N * max_tiles
 
     dead_key = jnp.int32(2**31 - 1)
     keys = jnp.where(
-        slot_valid, tile_id * n_pow2 + rank[:, None], dead_key
-    ).reshape(-1)
-    o = jnp.arange(N * max_tiles, dtype=jnp.int32)   # flat (gaussian, slot)
+        slot_valid, tile_id * n_pow2 + rank[None, :], dead_key
+    ).reshape(-1)                                # free bitcast: d-major
+    o = jnp.arange(N * max_tiles, dtype=jnp.int32)   # flat d * N + gaussian
 
     sorted_keys, sorted_o = jax.lax.sort_key_val(keys, o)
     sorted_keys = sorted_keys[:P]
     sorted_o = sorted_o[:P]
-    sorted_ids = sorted_o // max_tiles
+    sorted_ids = jax.lax.rem(sorted_o, jnp.int32(N))
     sorted_rank = jax.lax.rem(sorted_keys, jnp.int32(n_pow2))
     sorted_valid = sorted_keys != dead_key
     sorted_tile = jnp.where(

@@ -600,18 +600,22 @@ def _rank_of_id(depth_order):
     )
 
 
-def _slab_maps(bins_arrays, num_tiles, n_slots=0, rank_major=False):
+def _slab_maps(bins_arrays, num_tiles, n_slots=0, mode=None):
     """Backward index maps: (astarts, apos (n_slots,)).
 
-    ``apos[o]`` is the aligned grad-slab position of original slot ``o``
-    (M-1 = a never-written, zero row for dead slots).  Everything here is
-    1-D int32 sorts/cummaxes — the many-row scatter/gather formulations
-    all hit serialized or strided XLA paths (5-17ms at 1M slots).
+    ``apos`` maps original slots to aligned grad-slab positions (M-1 = a
+    never-written, zero row for dead slots).  Everything here is 1-D
+    int32 sorts/cummaxes — the many-row scatter/gather formulations all
+    hit serialized or strided XLA paths (5-17ms at 1M slots).
 
-    ``rank_major=True`` re-keys the slots as (depth_rank, d) instead of
-    (gaussian, d): ``apos[r*D + d]`` then addresses the grad row of the
-    rank-r gaussian's slot d, making the downstream row gather walk each
-    tile's aligned segment monotonically (see ``APOS_MODE``).
+    The key layout matches the ``APOS_MODE`` reduction strategy (binning
+    emits slot-major ``o = d*N + n``):
+      * ``gauss_dsum`` — apos stays slot-major (``apos[d*N + n]``): the
+        dsum reduction reads D contiguous (N,)-index rows, zero re-key ops
+      * ``gauss``      — re-keyed gaussian-major ``n*D + d`` for the
+        RED_BN-blocked Pallas slot-reduce kernel
+      * ``rank*``      — gaussian replaced by its depth rank, making the
+        grad-row gather walk each tile's aligned segment monotonically
 
     With a pair budget (P < n_slots) the sorted arrays cover only the
     surviving slots, so the inverse permutation is built by a 1-D int32
@@ -620,15 +624,21 @@ def _slab_maps(bins_arrays, num_tiles, n_slots=0, rank_major=False):
         bins_arrays
     )
     P = ids.shape[0]
+    mode = APOS_MODE if mode is None else mode
     astarts, pos = _aligned_layout(
         tile_starts, tile_counts, sorted_valid, P, num_tiles
     )
-    key = sorted_o
-    if rank_major:
-        # (id, d) -> (rank[id], d): bijective, and well-defined for dead
-        # slots too (sorted_rank from the packed KEY is garbage there)
-        D = max(1, (n_slots if n_slots else P) // depth_order.shape[0])
-        key = jnp.take(_rank_of_id(depth_order), ids) * D + sorted_o % D
+    N = depth_order.shape[0]
+    D = max(1, (n_slots if n_slots else P) // N)
+    d_of = sorted_o // jnp.int32(N)
+    if mode == "gauss_dsum":
+        key = sorted_o
+    elif mode == "gauss":
+        key = ids * D + d_of
+    elif mode == "rank_dsum":
+        key = d_of * N + jnp.take(_rank_of_id(depth_order), ids)
+    else:  # rank
+        key = jnp.take(_rank_of_id(depth_order), ids) * D + d_of
     if n_slots in (0, P) and os.environ.get("GD_APOS_INV", "sort") == "sort":
         apos = jax.lax.sort_key_val(key, pos)[1]
     else:
@@ -642,18 +652,18 @@ def _reduce_grad_rows(grad_rows_al, apos, N, depth_order, width):
     """Aligned grad rows (M, width) -> per-Gaussian (N, width) sums.
 
     Strategy is picked by ``APOS_MODE`` (module doc above); ``apos`` must
-    have been built with the matching ``rank_major`` flag."""
+    have been built by ``_slab_maps`` with the matching mode."""
     from .pallas_kernels import RED_BN, pallas_reduce_slots
 
     M = grad_rows_al.shape[0]
     D_slots = apos.shape[0] // N
     mode = APOS_MODE
     if mode.endswith("_dsum"):
-        by_slot = apos.reshape(N, D_slots)
-        rows = jnp.take(grad_rows_al, by_slot[:, 0], axis=0, mode="clip")
+        by_slot = apos.reshape(D_slots, N)
+        rows = jnp.take(grad_rows_al, by_slot[0], axis=0, mode="clip")
         for d in range(1, D_slots):
             rows = rows + jnp.take(
-                grad_rows_al, by_slot[:, d], axis=0, mode="clip"
+                grad_rows_al, by_slot[d], axis=0, mode="clip"
             )
         red = rows
     else:
@@ -704,10 +714,7 @@ def _pallas_fwd(xy, conic, color, opacity, depth, bg, bins_arrays,
 
     ids, _, _, sorted_rank, depth_order, tile_starts, tile_counts = bins_arrays
     num_tiles = tiles_x * tiles_y
-    astarts, apos = _slab_maps(
-        bins_arrays, num_tiles, n_slots,
-        rank_major=APOS_MODE.startswith("rank"),
-    )
+    astarts, apos = _slab_maps(bins_arrays, num_tiles, n_slots)
     slab_t = _sorted_slab(
         xy, conic, color, opacity, depth, ids, depth_order, sorted_rank
     )

@@ -548,7 +548,7 @@ def pallas_surfel_bwd(saved, cot, tiles_x, tiles_y, tile_size,
     (handled by the caller) — and ``sel_abs`` is the (N, 2) AbsGS
     screen-translation rows when ``with_sel`` (None otherwise)."""
     from .composite import (
-        APOS_MODE, _grad_slab_width, _reduce_grad_rows, _slab_maps, _tile,
+        _grad_slab_width, _reduce_grad_rows, _slab_maps, _tile,
     )
 
     (acr, bcr, ccr, det, xy, color, opacity, normal, bg, znear, zfar,
@@ -594,9 +594,7 @@ def pallas_surfel_bwd(saved, cot, tiles_x, tiles_y, tile_size,
         axis=1,
     )  # (T, 8, npix)
 
-    astarts, apos = _slab_maps(
-        bins_arrays, num_tiles, rank_major=APOS_MODE.startswith("rank")
-    )
+    astarts, apos = _slab_maps(bins_arrays, num_tiles)
     M = _grad_slab_width(ids.shape[0], num_tiles)
     slab_t = _sorted_surfel_slab(
         acr, bcr, ccr, det, xy, color, opacity, normal,

@@ -88,8 +88,19 @@ def main(cfg):
     #    (reference network.py:777-779) — one traced variant per count.
     start_fine = cfg.train.start_fine
     use_rand_views = bool(cfg.train.get("use_rand_views", False))
-    rand_rng = np.random.default_rng(cfg.tpu.seed + 17)
     _steps: dict = {}
+
+    def rand_views_at(step: int) -> int:
+        """Per-step source-view count in {2, 3, 4} (reference
+        network.py:777-779).  STATELESS — derived from (seed, step) so a
+        checkpoint resume replays the identical sequence from any step
+        (a host-side stateful RNG would restart the sequence from
+        scratch on resume)."""
+        return 2 + int(
+            np.random.default_rng(
+                (cfg.tpu.seed + 17) * 1_000_003 + step
+            ).integers(0, 3)
+        )
 
     def get_train_step(fine: bool, n_views: int):
         key = (fine, n_views)
@@ -154,10 +165,7 @@ def main(cfg):
         for batch_np in train_loader:
             batch = shard_batch(to_device_batch(batch_np), mesh)
             fine_now = start_fine < 0 or step > start_fine
-            v_now = (
-                int(rand_rng.integers(2, 5)) if use_rand_views
-                else net_cfg.n_views
-            )
+            v_now = rand_views_at(step) if use_rand_views else net_cfg.n_views
             train_step = get_train_step(fine_now, v_now)
             with maybe_profile(profile_dir if step == 20 else None):
                 state, stats = train_step(state, batch)
@@ -198,7 +206,34 @@ def main(cfg):
     return state
 
 
+def maybe_init_distributed():
+    """Multi-host bootstrap (env-triggered; must run before the first JAX
+    backend touch).
+
+    * ``GD_DIST_INIT=1`` — TPU pod: ``jax.distributed.initialize()`` with
+      no arguments auto-discovers the coordinator from the TPU metadata
+      server; ``jax.devices()`` then spans every host, ``make_mesh`` lays
+      the data axis over all of them, and GSPMD routes the gradient
+      all-reduce over ICI within a slice / DCN across slices.
+    * ``GD_NUM_PROCESSES>1`` (+ ``GD_COORDINATOR``, ``GD_PROCESS_ID``) —
+      explicit multi-process run (the CPU smoke test in
+      tests/test_multihost.py drives two processes this way).
+
+    Single-process runs (the default) skip initialization entirely.
+    """
+    n_proc = int(os.environ.get("GD_NUM_PROCESSES", "0"))
+    if os.environ.get("GD_DIST_INIT"):
+        jax.distributed.initialize()
+    elif n_proc > 1:
+        jax.distributed.initialize(
+            coordinator_address=os.environ["GD_COORDINATOR"],
+            num_processes=n_proc,
+            process_id=int(os.environ["GD_PROCESS_ID"]),
+        )
+
+
 def cli():
+    maybe_init_distributed()
     args = sys.argv[1:]
     yamls = [a for a in args if a.endswith((".yaml", ".yml"))]
     overrides = [a for a in args if "=" in a and not a.endswith((".yaml", ".yml"))]

@@ -84,15 +84,26 @@ ALL_VARIANTS = {
 }
 
 names = sys.argv[1:] or list(ALL_VARIANTS)
-out = open("/tmp/ab_results.txt", "a")
-for name in names:
-    env, apos, kw = ALL_VARIANTS[name]
-    for k in ("GD_APOS_INV", "GD_RECIP"):
-        os.environ.pop(k, None)
-    os.environ.update(env)
-    composite.APOS_MODE = apos
-    ms = timed_chain(kw) * 1e3
-    line = f"{name:20s} {ms:7.2f} ms/render  ({1e3/ms:.1f} r/s)"
-    print(line, flush=True)
-    out.write(line + "\n")
-    out.flush()
+import subprocess
+import datetime
+
+commit = subprocess.run(
+    ["git", "-C", "/root/repo", "rev-parse", "--short", "HEAD"],
+    capture_output=True, text=True,
+).stdout.strip() or "unknown"
+with open("/tmp/ab_results.txt", "a") as out:
+    out.write(
+        f"# run {datetime.datetime.now().isoformat(timespec='seconds')} "
+        f"commit={commit} variants={','.join(names)}\n"
+    )
+    for name in names:
+        env, apos, kw = ALL_VARIANTS[name]
+        for k in ("GD_APOS_INV", "GD_RECIP"):
+            os.environ.pop(k, None)
+        os.environ.update(env)
+        composite.APOS_MODE = apos
+        ms = timed_chain(kw) * 1e3
+        line = f"{name:20s} {ms:7.2f} ms/render  ({1e3/ms:.1f} r/s)"
+        print(line, flush=True)
+        out.write(line + "\n")
+        out.flush()

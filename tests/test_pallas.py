@@ -17,10 +17,11 @@ def _data(seed=0, ts=32):
     rng = np.random.default_rng(seed)
     counts = jnp.asarray([70, 50, 0, 60], jnp.int32)
     starts = jnp.asarray([0, 70, 120, 120], jnp.int32)
-    # sorted_o is a permutation of the (N, D=2) slot expansion; the
-    # gaussian of a slot is o // D (the production binning invariant)
+    # sorted_o is a permutation of the (D=2, N) slot expansion; the
+    # gaussian of a slot is o % N (the production binning invariant:
+    # slot-major o = d * N + gaussian)
     sorted_o = rng.permutation(P).astype(np.int32)
-    ids = sorted_o // (P // N)
+    ids = sorted_o % N
     valid = np.zeros(P, bool)
     for s, c in zip(np.asarray(starts), np.asarray(counts)):
         valid[s:s + c] = True
@@ -94,7 +95,7 @@ class TestGradReduceModes:
     (they only reorder the aligned-grad-slab -> per-gaussian reduction)."""
 
     @pytest.mark.parametrize(
-        "mode", ["rank", "gauss_dsum", "rank_dsum"]
+        "mode", ["gauss", "rank", "gauss_dsum", "rank_dsum"]
     )
     def test_modes_match_default(self, mode, monkeypatch):
         from generativedensification_tpu.splat import composite as C
@@ -109,6 +110,10 @@ class TestGradReduceModes:
             )
             return jnp.sum(img) + jnp.sum(alpha * dep)
 
+        # pin the reference strategy explicitly: the module default has
+        # changed before (gauss -> gauss_dsum), and comparing a mode
+        # against itself would silently drop coverage of the others
+        monkeypatch.setattr(C, "APOS_MODE", "gauss")
         g_ref = jax.grad(gsum)(jnp.zeros_like(xy))
         monkeypatch.setattr(C, "APOS_MODE", mode)
         g_mode = jax.grad(gsum)(jnp.zeros_like(xy))
@@ -154,7 +159,7 @@ class TestPerTileCapOverflow:
         counts = jnp.asarray([300, 20, 0, 12], jnp.int32)
         starts = jnp.asarray([0, 300, 320, 320], jnp.int32)
         sorted_o = rng.permutation(P_ovf).astype(np.int32)
-        ids = sorted_o // (P_ovf // N)
+        ids = sorted_o % N
         valid = np.zeros(P_ovf, bool)
         for s, c in zip(np.asarray(starts), np.asarray(counts)):
             valid[s:s + c] = True
