@@ -769,21 +769,8 @@ class Network(nn.Module):
                 self._over_batch(sel_one, cams_v, bgs_v, gt_all, gs_all)
             )  # (B, N)
 
-        # -- static opacity pool: top mask_pool by opacity (stands in for
-        #    the boolean opacity mask, exact when pool >= true mask count).
-        #    mask_pool >= N (the eval config sets n_voxels, defaults.py
-        #    INFER) short-circuits to the identity: the pool IS the full
-        #    point set, so the fine union equals the reference's unbounded
-        #    `sigmoid(op) > 0.005` mask (network.py:804-805) exactly.
-        M = min(cfg.mask_pool, N)
-        if M == N:
-            pool_idx = jnp.broadcast_to(
-                jnp.arange(N, dtype=jnp.int32)[None], (B, N)
-            )
-        else:
-            pool_idx = topk_split(
-                jax.lax.stop_gradient(opacity_act), jnp.ones_like(opacity_ok), M
-            )[0]
+        pool_idx = static_opacity_pool(opacity_act, cfg.mask_pool)
+        M = pool_idx.shape[1]
         take2 = lambda a: jnp.take_along_axis(a, pool_idx[..., None], axis=1)
         take1 = lambda a: jnp.take_along_axis(a, pool_idx, axis=1)
         pool_valid = take1(opacity_ok)
@@ -905,6 +892,30 @@ class Network(nn.Module):
         z_diff = jnp.abs(sampled[..., 7:8] - z)
         feats = jnp.concatenate([sampled[..., :7], z_diff], axis=-1)
         return feats.transpose(1, 0, 2)                # (M, V, 8)
+
+
+def static_opacity_pool(opacity_act: jnp.ndarray, mask_pool: int) -> jnp.ndarray:
+    """Static stand-in for the reference's dynamic opacity mask: (B, M)
+    indices of the top ``min(mask_pool, N)`` points by activated opacity.
+
+    The reference keeps every coarse Gaussian with ``sigmoid(op) > 0.005``
+    in the fine union (network.py:804-805 at eval; training thins >50%
+    masks randomly, :725-732).  A dynamic boolean mask is shape-unstable
+    under jit, so the pool fixes the budget; whenever the pool covers the
+    true mask count the downstream union (which re-applies the 0.005
+    validity per pooled point) is EXACTLY the dynamic-mask set.
+    ``mask_pool >= N`` short-circuits to the identity — the eval config
+    (defaults.py INFER) sets pool = n_voxels for provably exact inference.
+    """
+    B, N = opacity_act.shape
+    M = min(mask_pool, N)
+    if M == N:
+        return jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None], (B, N))
+    return topk_split(
+        jax.lax.stop_gradient(opacity_act),
+        jnp.ones(opacity_act.shape, bool),
+        M,
+    )[0]
 
 
 def _cat_views(x: jnp.ndarray) -> jnp.ndarray:

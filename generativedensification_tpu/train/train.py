@@ -29,6 +29,17 @@ from .state import TrainState, create_train_state, restore_checkpoint, save_chec
 from .step import make_eval_step, make_train_step
 
 
+def rand_views_at(seed: int, step: int) -> int:
+    """Per-step source-view count in {2, 3, 4} (reference
+    network.py:777-779).  STATELESS — derived from (seed, step) so a
+    checkpoint resume replays the identical sequence from any step (a
+    host-side stateful RNG would restart the sequence from scratch on
+    resume)."""
+    return 2 + int(
+        np.random.default_rng((seed + 17) * 1_000_003 + step).integers(0, 3)
+    )
+
+
 def main(cfg):
     t_start = time.time()
     mesh = make_mesh(min(len(cfg.gpu_id), len(jax.devices())))
@@ -89,18 +100,6 @@ def main(cfg):
     start_fine = cfg.train.start_fine
     use_rand_views = bool(cfg.train.get("use_rand_views", False))
     _steps: dict = {}
-
-    def rand_views_at(step: int) -> int:
-        """Per-step source-view count in {2, 3, 4} (reference
-        network.py:777-779).  STATELESS — derived from (seed, step) so a
-        checkpoint resume replays the identical sequence from any step
-        (a host-side stateful RNG would restart the sequence from
-        scratch on resume)."""
-        return 2 + int(
-            np.random.default_rng(
-                (cfg.tpu.seed + 17) * 1_000_003 + step
-            ).integers(0, 3)
-        )
 
     def get_train_step(fine: bool, n_views: int):
         key = (fine, n_views)
@@ -165,7 +164,10 @@ def main(cfg):
         for batch_np in train_loader:
             batch = shard_batch(to_device_batch(batch_np), mesh)
             fine_now = start_fine < 0 or step > start_fine
-            v_now = rand_views_at(step) if use_rand_views else net_cfg.n_views
+            v_now = (
+                rand_views_at(cfg.tpu.seed, step) if use_rand_views
+                else net_cfg.n_views
+            )
             train_step = get_train_step(fine_now, v_now)
             with maybe_profile(profile_dir if step == 20 else None):
                 state, stats = train_step(state, batch)

@@ -79,6 +79,7 @@ ALL_VARIANTS = {
     "gauss_dsum": ({}, "gauss_dsum", KW32),
     "rank_dsum": ({}, "rank_dsum", KW32),
     "scatter": ({"GD_APOS_INV": "scatter"}, "gauss", KW32),
+    "scatter_dsum": ({"GD_APOS_INV": "scatter"}, "gauss_dsum", KW32),
     "approx": ({"GD_RECIP": "approx"}, "gauss_dsum", KW32),
     "ts16_dsum": ({}, "gauss_dsum", KW16),
 }

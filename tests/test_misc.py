@@ -283,3 +283,71 @@ class TestAdaLayerNorm:
         mod = np.asarray(gfeat) @ w + b
         expect = mod[:, None, :] * np.asarray(masked_layer_norm(feat))
         np.testing.assert_allclose(np.asarray(y), expect, rtol=1e-5, atol=1e-6)
+
+
+class TestStaticOpacityPool:
+    """Eval-exact opacity pool vs the dynamic-mask oracle (VERDICT r2 #4).
+
+    Reference keeps every point with sigmoid(op) > 0.005 in the fine union
+    (network.py:804-805); the TPU pool is static.  Whenever the pool covers
+    the true mask count, pool membership must contain the oracle set
+    exactly — and at mask_pool >= N the pool is the identity."""
+
+    def _op(self, seed=0, B=2, N=512, frac_pass=0.3):
+        rng = np.random.default_rng(seed)
+        op = rng.uniform(0.006, 1.0, size=(B, N)).astype(np.float32)
+        off = rng.uniform(0.0, 0.004, size=(B, N)).astype(np.float32)
+        mask = rng.uniform(size=(B, N)) < frac_pass
+        return jnp.asarray(np.where(mask, op, off))
+
+    def test_pool_covers_oracle_when_budget_sufficient(self):
+        from generativedensification_tpu.models.network import (
+            static_opacity_pool,
+        )
+
+        op = self._op()
+        oracle = np.asarray(op > 0.005)
+        count = int(oracle.sum(1).max())
+        pool_idx = np.asarray(static_opacity_pool(op, count))
+        assert pool_idx.shape[1] == count
+        for b in range(op.shape[0]):
+            oracle_set = set(np.flatnonzero(oracle[b]).tolist())
+            pool_set = set(pool_idx[b].tolist())
+            # every oracle point is in the pool; extras (if this row's
+            # count < max) fail the downstream 0.005 validity check
+            assert oracle_set <= pool_set
+
+    def test_identity_at_full_budget(self):
+        from generativedensification_tpu.models.network import (
+            static_opacity_pool,
+        )
+
+        op = self._op(seed=1)
+        B, N = op.shape
+        for pool in (N, N + 100, 10**6):
+            idx = np.asarray(static_opacity_pool(op, pool))
+            np.testing.assert_array_equal(
+                idx, np.tile(np.arange(N, dtype=np.int32), (B, 1))
+            )
+
+    def test_undersized_pool_drops_oracle_points(self):
+        """Negative control: a budget below the true count must lose
+        oracle members (this is the training-time approximation the eval
+        config avoids)."""
+        from generativedensification_tpu.models.network import (
+            static_opacity_pool,
+        )
+
+        op = self._op(seed=2, frac_pass=0.9)
+        oracle = np.asarray(op > 0.005)
+        count = int(oracle.sum(1).max())
+        small = count // 2
+        pool_idx = np.asarray(static_opacity_pool(op, small))
+        b = int(np.argmax(oracle.sum(1)))
+        oracle_set = set(np.flatnonzero(oracle[b]).tolist())
+        pool_set = set(pool_idx[b].tolist())
+        assert len(oracle_set - pool_set) > 0
+        # but the kept ones are the TOP-opacity subset
+        kept = np.sort(np.asarray(op)[b][pool_idx[b]])
+        dropped = np.asarray(op)[b][sorted(oracle_set - pool_set)]
+        assert kept.min() >= dropped.max() - 1e-6
