@@ -188,7 +188,7 @@ def _tile(img, tiles_x, tiles_y, ts):
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13, 14))
+@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15))
 def composite_tiles(
     xy,
     xy_abs,
@@ -205,6 +205,7 @@ def composite_tiles(
     chunk: int,
     backend: str = "xla",
     n_slots: int = 0,
+    want_abs: bool = True,
 ):
     """Composite N projected Gaussians into an image.
 
@@ -215,6 +216,11 @@ def composite_tiles(
       bg: (3,) background color.
       bins_arrays: (sorted_ids, sorted_o, sorted_valid, sorted_rank,
         depth_order, tile_starts, tile_counts) from ``TileBins``.
+      want_abs: when False, the ``xy_abs`` cotangent is returned as zeros
+        and the backward skips the AbsGS |grad| accumulations entirely
+        (they live inside the opaque Pallas kernel, so XLA cannot DCE
+        them; a caller that never reads the selection grads should say
+        so).
     Returns:
       image (H, W, 3), alpha (H, W), depth (H, W).
     """
@@ -241,7 +247,7 @@ def _fwd_impl(xy, xy_abs, conic, color, opacity, depth, bg, bins_arrays,
 
 def _composite_fwd(xy, xy_abs, conic, color, opacity, depth, bg, bins_arrays,
                    tiles_x, tiles_y, tile_size, max_per_tile, chunk,
-                   backend="xla", n_slots=0):
+                   backend="xla", n_slots=0, want_abs=True):
     out, res = _fwd_impl(
         xy, xy_abs, conic, color, opacity, depth, bg, bins_arrays,
         tiles_x, tiles_y, tile_size, max_per_tile, chunk, backend, n_slots,
@@ -250,11 +256,21 @@ def _composite_fwd(xy, xy_abs, conic, color, opacity, depth, bg, bins_arrays,
     return out, saved
 
 
-def _composite_bwd(tiles_x, tiles_y, tile_size, max_per_tile, chunk, backend,
-                   n_slots, saved, cot):
+def _dispatch_bwd(saved, cot, tiles_x, tiles_y, tile_size, max_per_tile,
+                  chunk, backend, n_slots, mode):
     if backend == "pallas":
-        return _pallas_bwd(saved, cot, tiles_x, tiles_y, tile_size, n_slots)
-    return _xla_bwd(saved, cot, tiles_x, tiles_y, tile_size, max_per_tile, chunk)
+        return _pallas_bwd(saved, cot, tiles_x, tiles_y, tile_size, n_slots,
+                           mode)
+    return _xla_bwd(saved, cot, tiles_x, tiles_y, tile_size, max_per_tile,
+                    chunk, mode)
+
+
+def _composite_bwd(tiles_x, tiles_y, tile_size, max_per_tile, chunk, backend,
+                   n_slots, want_abs, saved, cot):
+    return _dispatch_bwd(
+        saved, cot, tiles_x, tiles_y, tile_size, max_per_tile, chunk,
+        backend, n_slots, "full" if want_abs else "noabs",
+    )
 
 
 composite_tiles.defvjp(_composite_fwd, _composite_bwd)
@@ -322,9 +338,11 @@ def _fwd_sel_impl(xy, conic, color, opacity, depth, bg, gt, bins_arrays,
         sg(xy), sg(conic), sg(color), sg(opacity), sg(depth), sg(bg),
         bins_arrays, sg(res),
     )
-    grads = _composite_bwd(
-        tiles_x, tiles_y, tile_size, max_per_tile, chunk, backend, n_slots,
-        saved_sel, cot,
+    # "selonly": the selection pass consumes ONLY the AbsGS rows — the
+    # kernel skips the ten other per-slot reductions
+    grads = _dispatch_bwd(
+        saved_sel, cot, tiles_x, tiles_y, tile_size, max_per_tile, chunk,
+        backend, n_slots, "selonly",
     )
     sel_abs = sg(grads[1])                     # d_abs channels
     return out, res, sel_abs
@@ -345,9 +363,10 @@ def _composite_sel_bwd(tiles_x, tiles_y, tile_size, max_per_tile, chunk,
                        backend, n_slots, saved, cot):
     *saved_core, gt = saved
     *cot_img, _cot_sel = cot                   # sel_abs carries no gradient
-    grads = _composite_bwd(
-        tiles_x, tiles_y, tile_size, max_per_tile, chunk, backend, n_slots,
-        tuple(saved_core), tuple(cot_img),
+    # "noabs": the fused variant's d_abs is internal and deleted below
+    grads = _dispatch_bwd(
+        tuple(saved_core), tuple(cot_img), tiles_x, tiles_y, tile_size,
+        max_per_tile, chunk, backend, n_slots, "noabs",
     )
     d_xy, d_abs, d_con, d_col, d_opa, d_dep, d_bg, d_bins = grads
     del d_abs  # the zero xy_abs input is internal to the fused variant
@@ -359,7 +378,12 @@ composite_tiles_sel.defvjp(_composite_sel_fwd, _composite_sel_bwd)
 
 
 def _bwd_common(saved, cot, tiles_x, tiles_y, ts):
-    """Shared backward preamble: tiled cotangents + closed-form totals."""
+    """Shared backward preamble: tiled cotangents + closed-form totals.
+
+    Returns ``G2 = G + gTf`` pre-folded: both are per-pixel constants of
+    the chunk loop, so folding them here saves one full-shape VPU pass per
+    chunk in the kernels (suffix' = G2 - prefix carries the dL/dT_fin term
+    for free)."""
     xy, conic, color, opacity, depth, bg, bins_arrays, res = saved
     gC_img, gA_img, gD_img = cot
     C_fin, D_fin, T_fin = res[:3]
@@ -371,7 +395,7 @@ def _bwd_common(saved, cot, tiles_x, tiles_y, ts):
     # dL/dT_fin term
     gTf = (jnp.sum(gC * bg[None, None, :], axis=-1) - gA) * T_fin
     d_bg = jnp.einsum("tpc,tp->c", gC, T_fin)
-    return gC, gA, gD, G, gTf, d_bg
+    return gC, gD, G + gTf, d_bg
 
 
 def _grad_outputs(unpacked, d_bg, bins_arrays):
@@ -470,10 +494,11 @@ def _xla_fwd(xy, conic, color, opacity, depth, bg, bins_arrays,
     return out, (C, D, T_eff)
 
 
-def _xla_bwd(saved, cot, tiles_x, tiles_y, ts, max_per_tile, chunk):
+def _xla_bwd(saved, cot, tiles_x, tiles_y, ts, max_per_tile, chunk,
+             mode="full"):
     xy, conic, color, opacity, depth, bg, bins_arrays, res = saved
     ids, _, _, _, _, tile_starts, tile_counts = bins_arrays
-    gC, gA, gD, G, gTf, d_bg = _bwd_common(saved, cot, tiles_x, tiles_y, ts)
+    gC, gD, G2, d_bg = _bwd_common(saved, cot, tiles_x, tiles_y, ts)
     C_fin, D_fin, T_fin = res[:3]
     num_tiles = tiles_x * tiles_y
     n_chunks = -(-max_per_tile // chunk)
@@ -505,11 +530,9 @@ def _xla_bwd(saved, cot, tiles_x, tiles_y, ts, max_per_tile, chunk):
             + gD[:, None, :] * tab[..., 9][..., None]
         )
         pref_inc = prefix[:, None, :] + jnp.cumsum(contrib * w, axis=1)
-        suffix = G[:, None, :] - pref_inc
+        suffix = G2[:, None, :] - pref_inc        # gTf pre-folded into G2
         inv_1ma = 1.0 / jnp.maximum(1.0 - alpha, 1.0 - ALPHA_MAX)
-        g_alpha = include * (
-            contrib * T_exc - (suffix + gTf[:, None, :]) * inv_1ma
-        )
+        g_alpha = include * (contrib * T_exc - suffix * inv_1ma)
 
         not_clamped = (alpha < ALPHA_MAX).astype(alpha.dtype)
         g_power = g_alpha * not_clamped * alpha
@@ -561,6 +584,12 @@ def _xla_bwd(saved, cot, tiles_x, tiles_y, ts, max_per_tile, chunk):
     # slot grads -> per-Gaussian grads (one row scatter-add)
     N = xy.shape[0]
     grad_rows = jnp.zeros((N, 16), jnp.float32).at[ids].add(d_slab)
+    # mirror the Pallas kernel's mode contract (zeros in unconsumed rows)
+    # so backend parity holds in every mode
+    if mode == "noabs":
+        grad_rows = grad_rows.at[:, 10:12].set(0.0)
+    elif mode == "selonly":
+        grad_rows = grad_rows.at[:, 0:10].set(0.0)
     return _grad_outputs(_unpack_grads(grad_rows), d_bg, bins_arrays)
 
 
@@ -732,28 +761,27 @@ def _pallas_fwd(xy, conic, color, opacity, depth, bg, bins_arrays,
         _untile(alpha_t[..., None], tiles_x, tiles_y, tile_size, 1)[..., 0],
         _untile(D[..., None], tiles_x, tiles_y, tile_size, 1)[..., 0],
     )
-    # index maps ride the residuals so the backward skips the aligned-
-    # layout recompute (int32 maps, ~8MB at 512² — negligible next to the
-    # activations)
-    return out, (C, D, T_eff, astarts, apos)
+    # index maps AND the gathered sorted slab ride the residuals so the
+    # backward skips both the aligned-layout recompute and the table
+    # re-pack + sorted-order re-gather (~1.5ms; the slab is ~32MB at 512²
+    # — small next to the activations, and remat recomputes it anyway
+    # when the caller checkpoints the render)
+    return out, (C, D, T_eff, astarts, apos, slab_t)
 
 
-def _pallas_bwd(saved, cot, tiles_x, tiles_y, ts, n_slots=0):
+def _pallas_bwd(saved, cot, tiles_x, tiles_y, ts, n_slots=0, mode="full"):
     from .pallas_kernels import pallas_composite_bwd
 
     xy, conic, color, opacity, depth, bg, bins_arrays, res = saved
     ids, _, _, sorted_rank, depth_order, tile_starts, tile_counts = bins_arrays
-    C_fin, D_fin, T_fin, astarts, apos = res
-    gC, gA, gD, G, gTf, d_bg = _bwd_common(saved, cot, tiles_x, tiles_y, ts)
+    C_fin, D_fin, T_fin, astarts, apos, slab_t = res
+    gC, gD, G2, d_bg = _bwd_common(saved, cot, tiles_x, tiles_y, ts)
 
     num_tiles = tiles_x * tiles_y
     M = _grad_slab_width(sorted_rank.shape[0], num_tiles)
-    slab_t = _sorted_slab(
-        xy, conic, color, opacity, depth, ids, depth_order, sorted_rank
-    )
     grad_al = pallas_composite_bwd(
-        slab_t, tile_starts, tile_counts, astarts, M, gC, gA, gD, G, gTf,
-        tiles_x, tiles_y, ts,
+        slab_t, tile_starts, tile_counts, astarts, M, gC, gD, G2,
+        tiles_x, tiles_y, ts, mode=mode,
     )  # (16, M) attribute-major
     # aligned grads -> per-Gaussian grads WITHOUT a row scatter (TPU row
     # scatters serialize, ~17ms at 1M slots): gather rows back into the

@@ -134,22 +134,25 @@ def _alpha_matrix(A, AT, offset, count, basis8, ox, oy):
         precision=jax.lax.Precision.HIGHEST,
     )  # (CHUNK, NPIX)
 
-    opa_c = AT[:, _OPA:_OPA + 1]
-    val_c = AT[:, _VAL:_VAL + 1]
-    # full-width iota: (CHUNK, 1)-shaped iotas mis-lower on TPU (lane dim
-    # below the minimum tile), so build the live mask at power's full shape
-    row_idx = jax.lax.broadcasted_iota(jnp.int32, power.shape, 0)
-    pos = offset + row_idx
-    live = (pos >= 0) & (pos < count)
+    # Row-liveness (chunk-boundary head/tail) and validity are PER-ROW
+    # facts: fold both into the opacity COLUMN instead of building full
+    # (CHUNK, NPIX) masks (iota + 2 cmps + 2 ands + select = ~6 full-shape
+    # VPU passes; the kernels are VPU-pass-bound).  Masked rows get opa 0
+    # -> alpha 0 -> culled by the alpha >= ALPHA_MIN select, bit-identical
+    # to the old full-shape gating.  The iota is (CHUNK, SLAB_W) because
+    # (CHUNK, 1) iotas mis-lower on TPU.
+    pos16 = offset + jax.lax.broadcasted_iota(jnp.int32, AT.shape, 0)
+    masked = jnp.where((pos16 >= 0) & (pos16 < count), AT, 0.0)
+    opa_m = jnp.where(
+        masked[:, _VAL:_VAL + 1] > 0.0, masked[:, _OPA:_OPA + 1], 0.0
+    )  # (CHUNK, 1)
 
     # power = -quadratic_form <= 0 mathematically (PSD conic); positives are
     # pure rounding noise from the matmul form, so clamp instead of the
     # reference's strict power>0 cull (which only ever fires on noise).
     power = jnp.minimum(power, 0.0)
-    alpha = jnp.minimum(ALPHA_MAX, opa_c * jnp.exp(power))
-    # one fused select instead of two {0,1} multiplies (val/live are masks)
-    ok = (alpha >= ALPHA_MIN) & (val_c > 0.0) & live
-    return jnp.where(ok, alpha, 0.0)
+    alpha = jnp.minimum(ALPHA_MAX, opa_m * jnp.exp(power))
+    return jnp.where(alpha >= ALPHA_MIN, alpha, 0.0)
 
 
 def _color_lhs(A):
@@ -194,38 +197,86 @@ def _mm(L, x):
     )
 
 
-def _cumsum0(x):
-    """Inclusive cumsum over axis 0 (CHUNK) as a log2(CHUNK) shift-add
-    ladder — exact f32, ~7 adds, no serial dependency chain of length
-    CHUNK (the unrolled row-by-row loop costs ~6k cycles/chunk)."""
+import os as _os
+
+# rows per block of the two-level inclusive scans (0 = flat ladder).
+# HYPOTHESIS TESTED AND REJECTED (v5e, 512²/131k, 2026-08-19): a
+# two-level block scan "should" cut the flat 7-step Hillis-Steele
+# ladder's full-data passes — measured: B=8 51.2 r/s vs flat 51.9 (wash),
+# B=4 33.9 (the (nb, 4, npix) mid-dim pads to 8 sublanes and every shift
+# moves 2x its logical bytes).  Mosaic evidently folds the ladder's
+# shift+op pairs well enough that the extra reshape/boundary traffic
+# only adds cost.  Flat stays the default; the knob remains for re-A/Bs.
+SCAN_BLOCK = int(_os.environ.get("GD_SCAN_BLOCK", "0"))
+
+
+def _scan0_blocked(x, op, ident, block):
+    """Inclusive scan over axis 0 via a two-level block decomposition."""
+    n, m = x.shape
+    nb = n // block
+    x3 = x.reshape(nb, block, m)
+    sh = 1
+    while sh < block:  # local scans, all blocks lane-parallel
+        x3 = op(
+            x3,
+            jnp.concatenate(
+                [jnp.full((nb, sh, m), ident, x.dtype), x3[:, :-sh]], axis=1
+            ),
+        )
+        sh *= 2
+    # exclusive scan of the block totals (1/block of the data); all
+    # slice-form indexing — integer indexes (squeezes) lower to Mosaic's
+    # unimplemented dynamic_slice
+    carry = jnp.concatenate(
+        [jnp.full((1, 1, m), ident, x.dtype), x3[:-1, -1:, :]], axis=0
+    )
+    sh = 1
+    while sh < nb:
+        carry = op(
+            carry,
+            jnp.concatenate(
+                [jnp.full((sh, 1, m), ident, x.dtype), carry[:-sh]], axis=0
+            ),
+        )
+        sh *= 2
+    return op(x3, carry).reshape(n, m)
+
+
+def _scan0(x, op, ident):
     n = x.shape[0]
+    if SCAN_BLOCK and n % SCAN_BLOCK == 0 and n > SCAN_BLOCK:
+        return _scan0_blocked(x, op, ident, SCAN_BLOCK)
     sh = 1
     while sh < n:
-        x = x + jnp.concatenate(
-            [jnp.zeros((sh, x.shape[1]), x.dtype), x[:-sh]], axis=0
+        x = op(
+            x,
+            jnp.concatenate(
+                [jnp.full((sh, x.shape[1]), ident, x.dtype), x[:-sh]], axis=0
+            ),
         )
         sh *= 2
     return x
+
+
+def _cumsum0(x):
+    """Inclusive cumsum over axis 0 (CHUNK) as a shift-add scan tree —
+    exact-association-free f32, no serial dependency chain of length
+    CHUNK (the unrolled row-by-row loop costs ~6k cycles/chunk)."""
+    return _scan0(x, jnp.add, 0.0)
 
 
 def _cumprod0_excl(x):
-    """Exclusive cumprod over axis 0 as a log2(CHUNK) shift-MULTIPLY ladder.
+    """Exclusive cumprod over axis 0 as a shift-MULTIPLY scan tree.
 
     Same tree as ``_cumsum0`` with (*, 1) instead of (+, 0).  Matches the
     XLA path's ``jnp.cumprod`` semantics directly — no log/exp round trip
-    (the earlier log-space form cost two transcendentals per chunk; this
-    is 7 multiplies).  Underflow of long products flushes toward 0, which
-    only ever makes T_exc cross T_EPS a slot early at T ~ 1e-38."""
+    (the earlier log-space form cost two transcendentals per chunk).
+    Underflow of long products flushes toward 0, which only ever makes
+    T_exc cross T_EPS a slot early at T ~ 1e-38."""
     n = x.shape[0]
     # shift down by one row for the exclusive form
     x = jnp.concatenate([jnp.ones((1, x.shape[1]), x.dtype), x[:-1]], axis=0)
-    sh = 1
-    while sh < n:
-        x = x * jnp.concatenate(
-            [jnp.ones((sh, x.shape[1]), x.dtype), x[:-sh]], axis=0
-        )
-        sh *= 2
-    return x
+    return _scan0(x, jnp.multiply, 1.0)
 
 
 def _transmittance(alpha, T_raw, Ls=None):
@@ -235,7 +286,10 @@ def _transmittance(alpha, T_raw, Ls=None):
       T_exc_k = T_raw * prod_{j<k} (1 - a_j)
       U_k = T_exc_k (1 - a_k);  inc_k = U_k >= T_EPS
       W_k = a_k T_exc_k inc_k
-    Returns (W, T_exc, inc, T_raw_out) with T_raw_out = T_raw * prod(1-a).
+    Returns (W, T_exc, inc_bool, T_raw_out) with T_raw_out = T_raw *
+    prod(1-a).  ``inc_bool`` is the boolean include mask — consumers gate
+    with one ``where`` instead of a float cast + multiply (saves a VPU
+    pass per use; select-by-mask is bit-identical to *1.0/*0.0).
 
     ``Ls=None`` (the 3DGS kernels): shift-multiply ladder.  With a strict
     lower-tri ``Ls``: exp(Ls @ log1p(-alpha)) on the MXU (see ``_tril``).
@@ -247,8 +301,8 @@ def _transmittance(alpha, T_raw, Ls=None):
         P_exc = jnp.exp(_mm(Ls, jnp.log1p(-alpha)))
     T_exc = T_raw * P_exc
     U = T_exc * om
-    inc = (U >= T_EPS).astype(jnp.float32)
-    W = alpha * T_exc * inc
+    inc = U >= T_EPS
+    W = jnp.where(inc, alpha * T_exc, 0.0)
     T_raw_out = U[-1:]
     return W, T_exc, inc, T_raw_out
 
@@ -440,10 +494,10 @@ def pallas_reduce_slots(rows, n: int, d: int, width: int = SLAB_W):
 
 def _bwd_kernel(
     starts_ref, counts_ref, astarts_ref, slab_hbm,
-    gc4_in, G_in, gTf_in,
+    gc4_in, G_in,
     zeros_in, grad_hbm,
     buf, gbuf, sem, gsem,
-    *, tiles_x: int, ts: int,
+    *, tiles_x: int, ts: int, mode: str,
 ):
     npix = ts * ts
     t = pl.program_id(0)
@@ -457,8 +511,7 @@ def _bwd_kernel(
     n_chunks = pl.cdiv(head + count, CHUNK)
 
     gC4 = gc4_in[0]          # (8, npix): rows gCr, gCg, gCb, gD, 0...
-    G = G_in[0]              # (1, npix)
-    gTf = gTf_in[0]          # (1, npix)
+    G = G_in[0]              # (1, npix) — gTf pre-folded in (G2 = G + gTf)
 
     def dma_in(slot, c):
         off = pl.multiple_of(base + c * CHUNK, CHUNK)
@@ -507,17 +560,18 @@ def _bwd_kernel(
         )  # (CHUNK, NPIX)
 
         W, T_exc, inc, T_raw = _transmittance(alpha, T_raw)
-        Tinc = T_exc * inc
         pref = prefix + _cumsum0(contrib * W)     # inclusive prefix rows
         prefix = pref[-1:]
 
-        suffix = G - pref
+        suffix = G - pref                         # gTf rides in G (G2)
         inv_1ma = _recip(jnp.maximum(1.0 - alpha, 1.0 - ALPHA_MAX))
-        inc_m = (Tinc > 0.0).astype(jnp.float32)
-        g_alpha = inc_m * (contrib * Tinc - (suffix + gTf) * inv_1ma)
+        # gate with the transmittance inc mask directly: inc=1 implies
+        # T_exc >= T_EPS > 0, so where(inc, ·) equals the old Tinc>0
+        # float-mask gating bit-exactly without recomputing a mask
+        Tinc = jnp.where(inc, T_exc, 0.0)
+        g_alpha = jnp.where(inc, contrib * Tinc - suffix * inv_1ma, 0.0)
 
-        not_clamped = (alpha < ALPHA_MAX).astype(jnp.float32)
-        g_power = g_alpha * not_clamped * alpha
+        g_power = jnp.where(alpha < ALPHA_MAX, g_alpha * alpha, 0.0)
 
         a_c = AT[:, _A:_A + 1]
         b_c = AT[:, _B:_B + 1]
@@ -541,24 +595,41 @@ def _bwd_kernel(
         # sizes (+3ms/render at ts=32: contracting the npix lane dim
         # forces operand relayouts); plain VPU lane reductions win here.
         rsum = lambda v: jnp.sum(v, axis=1, keepdims=True)   # (CHUNK, 1)
-        gradT = jnp.concatenate(
-            [
-                rsum(gx_px),
-                rsum(gy_px),
-                -0.5 * rsum(t1 * dx),
-                -rsum(t1 * dy),
-                -0.5 * rsum(t2 * dy),
-                rsum(g_power) / jnp.maximum(opa_c, 1e-12),
-                rsum(W * gC4[0:1]),
-                rsum(W * gC4[1:2]),
-                rsum(W * gC4[2:3]),
-                rsum(W * gC4[3:4]),
-                rsum(jnp.abs(gx_px)),
-                rsum(jnp.abs(gy_px)),
-                jnp.zeros((CHUNK, SLAB_W - 12), jnp.float32),
-            ],
-            axis=1,
-        )  # (CHUNK, SLAB_W)
+        zcols = lambda k: jnp.zeros((CHUNK, k), jnp.float32)
+        if mode == "selonly":
+            # AbsGS selection pass (composite._fwd_sel_impl): ONLY the
+            # |d/dx|, |d/dy| rows are consumed — skip the other ten
+            # reductions and their product inputs (~15 full-shape passes)
+            gradT = jnp.concatenate(
+                [zcols(10), rsum(jnp.abs(gx_px)), rsum(jnp.abs(gy_px)),
+                 zcols(SLAB_W - 12)],
+                axis=1,
+            )  # (CHUNK, SLAB_W)
+        else:
+            abs_rows = (
+                [rsum(jnp.abs(gx_px)), rsum(jnp.abs(gy_px))]
+                if mode == "full" else [zcols(2)]
+                # "noabs": the AbsGS channels are discarded by the caller
+                # (no screen_abs consumer / the fused-selection true
+                # backward) — skip 2 abs + 2 reduction passes
+            )
+            gradT = jnp.concatenate(
+                [
+                    rsum(gx_px),
+                    rsum(gy_px),
+                    -0.5 * rsum(t1 * dx),
+                    -rsum(t1 * dy),
+                    -0.5 * rsum(t2 * dy),
+                    rsum(g_power) / jnp.maximum(opa_c, 1e-12),
+                    rsum(W * gC4[0:1]),
+                    rsum(W * gC4[1:2]),
+                    rsum(W * gC4[2:3]),
+                    rsum(W * gC4[3:4]),
+                    *abs_rows,
+                    zcols(SLAB_W - 12),
+                ],
+                axis=1,
+            )  # (CHUNK, SLAB_W)
         # grads leave attribute-major (16, M) like the input slab; the
         # consumer inverts the binning sort with an axis-1 gather (compact
         # layouts end to end — row-major variants force either a strided
@@ -601,22 +672,26 @@ def _bwd_kernel(
 
 
 def pallas_composite_bwd(
-    slab, tile_starts, tile_counts, astarts, m_out, gc_tiled, gA_tiled,
-    gD_tiled, G_tiled, gTf_tiled, tiles_x, tiles_y, tile_size: int = 32,
+    slab, tile_starts, tile_counts, astarts, m_out, gc_tiled,
+    gD_tiled, G2_tiled, tiles_x, tiles_y, tile_size: int = 32,
+    mode: str = "full",
 ):
     """Backward: per-slot gradient slab, attribute-major (SLAB_W, P_pad).
 
     Columns mirror the input slab; [_VAL], [_VAL+1] carry the AbsGS
     |d/dx|, |d/dy| accumulations.  Slots past a tile's early-termination
     point keep zeros (the grad output is aliased to a zero buffer).
-    ``gA`` is pre-folded into ``gTf`` by the caller.
+    ``G2_tiled`` is the per-pixel total G with the dL/dT_fin term (gA and
+    the bg·gC row) pre-folded in by the caller (``_bwd_common``).
+    ``mode``: "full" | "noabs" (skip the AbsGS rows) | "selonly" (ONLY
+    the AbsGS rows — the fused-selection pass).
     """
     assert tile_size in (16, 32)
+    assert mode in ("full", "noabs", "selonly"), mode
     npix = tile_size * tile_size
     num_tiles = tiles_x * tiles_y
     slab_t = slab  # (SLAB_W, P_pad) attribute-major sorted-order table
     zeros_grad = jnp.zeros((SLAB_W, m_out), jnp.float32)
-    del gA_tiled  # folded into gTf by the caller
 
     gc4 = jnp.concatenate(
         [
@@ -636,8 +711,6 @@ def pallas_composite_bwd(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, npix), lambda t, *p: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, npix), lambda t, *p: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
@@ -648,19 +721,20 @@ def pallas_composite_bwd(
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kernel = functools.partial(_bwd_kernel, tiles_x=tiles_x, ts=tile_size)
+    kernel = functools.partial(
+        _bwd_kernel, tiles_x=tiles_x, ts=tile_size, mode=mode
+    )
     grad_t = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((SLAB_W, m_out), jnp.float32),
         grid_spec=grid_spec,
-        input_output_aliases={7: 0},
+        input_output_aliases={6: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=_interpret(),
     )(
         tile_starts, tile_counts, astarts, slab_t,
         gc4,
-        G_tiled.reshape(num_tiles, 1, npix),
-        gTf_tiled.reshape(num_tiles, 1, npix),
+        G2_tiled.reshape(num_tiles, 1, npix),
         zeros_grad,
     )
     return grad_t

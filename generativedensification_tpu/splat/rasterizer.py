@@ -173,6 +173,10 @@ def rasterize(
             chunk,
             backend,
             n_slots,
+            # without a screen_abs consumer the AbsGS |grad| rows are
+            # never read — let the backward kernel skip them (XLA cannot
+            # DCE work inside the opaque pallas_call)
+            screen_abs is not None,
         )
     # crop any tile padding back to the true resolution
     image = jnp.clip(image[:H, :W], 0.0, 1.0)
