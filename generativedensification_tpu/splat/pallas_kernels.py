@@ -64,6 +64,18 @@ ALPHA_MAX = 0.99
 ALPHA_MIN = 1.0 / 255.0
 T_EPS = 1e-4
 SLAB_W = 16
+
+# Precision of the in-kernel MXU matmuls (power quadratic form, color /
+# contrib accumulation).  HIGHEST = 6 bf16 passes (exact f32), HIGH = 3
+# passes (~2^-21 relative).  Trace-time knob for on-chip A/Bs.
+import os as _os_
+
+_MM_PRECS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+MM_PRECISION = _MM_PRECS[_os_.environ.get("GD_MM_PREC", "highest")]
 CHUNK = 128   # slots per DMA chunk; also the lane-alignment quantum
 NPIX = 1024   # 32x32 tile (the surfel kernels' fixed tile; the 3DGS
               # kernels below are parametric over ts in {16, 32} — 16px
@@ -131,7 +143,7 @@ def _alpha_matrix(A, AT, offset, count, basis8, ox, oy):
         coefs.T, basis8,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=MM_PRECISION,
     )  # (CHUNK, NPIX)
 
     # Row-liveness (chunk-boundary head/tail) and validity are PER-ROW
@@ -357,7 +369,7 @@ def _fwd_kernel(
             _color_lhs(A), W,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=MM_PRECISION,
         )  # (8, npix): rows r, g, b, depth, Σ W (= 1 - T_eff, see
         #    _color_lhs — the separate per-chunk log1p/exp T_eff chain
         #    telescopes away)
@@ -522,12 +534,17 @@ def _bwd_kernel(
             sem.at[slot],
         )
 
+    # write-back row count must honor the (8, 128) HBM tiling: Mosaic
+    # rejects 10/12-row memref slices, so the only narrower option than
+    # the full 16 would be 8 rows — too few for the 10 live channels
+    rw = SLAB_W
+
     def dma_out(slot, c):
         off = pl.multiple_of(astart + c * CHUNK, CHUNK)
         boff = pl.multiple_of(slot * SLAB_W, SLAB_W)
         return pltpu.make_async_copy(
-            gbuf.at[pl.ds(boff, SLAB_W)],
-            grad_hbm.at[:, pl.ds(off, CHUNK)],
+            gbuf.at[pl.ds(boff, rw)],
+            grad_hbm.at[pl.ds(0, rw), pl.ds(off, CHUNK)],
             gsem.at[slot],
         )
 
@@ -556,7 +573,7 @@ def _bwd_kernel(
             _color_lhs(A).T, gC4,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=MM_PRECISION,
         )  # (CHUNK, NPIX)
 
         W, T_exc, inc, T_raw = _transmittance(alpha, T_raw)
@@ -579,16 +596,6 @@ def _bwd_kernel(
         x_c = AT[:, _X:_X + 1] - ox
         y_c = AT[:, _Y:_Y + 1] - oy
         opa_c = AT[:, _OPA:_OPA + 1]
-        dx = X - x_c
-        dy = Y - y_c
-        # shared products: the screen-xy grads and the three conic moment
-        # sums all derive from g_power·dx and g_power·dy (constant scales
-        # fold into the post-reduction (CHUNK, 1) columns, where they are
-        # free)
-        t1 = g_power * dx
-        t2 = g_power * dy
-        gx_px = a_c * t1 + b_c * t2
-        gy_px = c_c * t2 + b_c * t1
 
         # NOTE: expressing these reductions as MXU moment matmuls
         # (g_power @ momentsᵀ, W @ gC4ᵀ) was measured SLOWER at both tile
@@ -596,40 +603,78 @@ def _bwd_kernel(
         # forces operand relayouts); plain VPU lane reductions win here.
         rsum = lambda v: jnp.sum(v, axis=1, keepdims=True)   # (CHUNK, 1)
         zcols = lambda k: jnp.zeros((CHUNK, k), jnp.float32)
-        if mode == "selonly":
-            # AbsGS selection pass (composite._fwd_sel_impl): ONLY the
-            # |d/dx|, |d/dy| rows are consumed — skip the other ten
-            # reductions and their product inputs (~15 full-shape passes)
-            gradT = jnp.concatenate(
-                [zcols(10), rsum(jnp.abs(gx_px)), rsum(jnp.abs(gy_px)),
-                 zcols(SLAB_W - 12)],
-                axis=1,
-            )  # (CHUNK, SLAB_W)
-        else:
-            abs_rows = (
-                [rsum(jnp.abs(gx_px)), rsum(jnp.abs(gy_px))]
-                if mode == "full" else [zcols(2)]
-                # "noabs": the AbsGS channels are discarded by the caller
-                # (no screen_abs consumer / the fused-selection true
-                # backward) — skip 2 abs + 2 reduction passes
-            )
+        color_rows = lambda: [
+            rsum(W * gC4[0:1]), rsum(W * gC4[1:2]),
+            rsum(W * gC4[2:3]), rsum(W * gC4[3:4]),
+        ]
+        if mode == "noabs":
+            # VPU raw moments of g_power against the pixel monomials; the
+            # xy/conic/opacity rows are all linear in the six CENTRAL
+            # moments, recovered by per-column shifts (free (CHUNK, 1)
+            # math).  6 fewer full-shape passes than the dx/dy product
+            # form — only available without the AbsGS rows, whose |·|
+            # breaks the linearity.  Central-moment reconstruction
+            # cancels terms of magnitude ~X²·Σg, costing ~2 decimal
+            # digits of the row's own scale (within parity tolerances).
+            gX = g_power * X
+            gY = g_power * Y
+            m0 = rsum(g_power)
+            m1 = rsum(gX)
+            m2 = rsum(gY)
+            m3 = rsum(gX * X)
+            m4 = rsum(gX * Y)
+            m5 = rsum(gY * Y)
+            s1 = m1 - x_c * m0                      # Σ g·dx
+            s2 = m2 - y_c * m0                      # Σ g·dy
+            sxx = m3 - x_c * (m1 + s1)              # Σ g·dx²
+            sxy = m4 - x_c * m2 - y_c * s1          # Σ g·dx·dy
+            syy = m5 - y_c * (m2 + s2)              # Σ g·dy²
             gradT = jnp.concatenate(
                 [
-                    rsum(gx_px),
-                    rsum(gy_px),
-                    -0.5 * rsum(t1 * dx),
-                    -rsum(t1 * dy),
-                    -0.5 * rsum(t2 * dy),
-                    rsum(g_power) / jnp.maximum(opa_c, 1e-12),
-                    rsum(W * gC4[0:1]),
-                    rsum(W * gC4[1:2]),
-                    rsum(W * gC4[2:3]),
-                    rsum(W * gC4[3:4]),
-                    *abs_rows,
-                    zcols(SLAB_W - 12),
+                    a_c * s1 + b_c * s2,
+                    c_c * s2 + b_c * s1,
+                    -0.5 * sxx,
+                    -sxy,
+                    -0.5 * syy,
+                    m0 / jnp.maximum(opa_c, 1e-12),
+                    *color_rows(),
+                    zcols(SLAB_W - 10),
                 ],
                 axis=1,
             )  # (CHUNK, SLAB_W)
+        else:
+            # shared products: the screen-xy grads and the three conic
+            # moment sums all derive from g_power·dx and g_power·dy
+            # (constant scales fold into the post-reduction columns)
+            dx = X - x_c
+            dy = Y - y_c
+            t1 = g_power * dx
+            t2 = g_power * dy
+            gx_px = a_c * t1 + b_c * t2
+            gy_px = c_c * t2 + b_c * t1
+            abs_rows = [rsum(jnp.abs(gx_px)), rsum(jnp.abs(gy_px))]
+            if mode == "selonly":
+                # AbsGS selection pass (composite._fwd_sel_impl): ONLY
+                # the |d/dx|, |d/dy| rows are consumed — skip the other
+                # ten reductions and their product inputs
+                gradT = jnp.concatenate(
+                    [zcols(10), *abs_rows, zcols(SLAB_W - 12)], axis=1
+                )
+            else:
+                gradT = jnp.concatenate(
+                    [
+                        rsum(gx_px),
+                        rsum(gy_px),
+                        -0.5 * rsum(t1 * dx),
+                        -rsum(t1 * dy),
+                        -0.5 * rsum(t2 * dy),
+                        rsum(g_power) / jnp.maximum(opa_c, 1e-12),
+                        *color_rows(),
+                        *abs_rows,
+                        zcols(SLAB_W - 12),
+                    ],
+                    axis=1,
+                )  # (CHUNK, SLAB_W)
         # grads leave attribute-major (16, M) like the input slab; the
         # consumer inverts the binning sort with an axis-1 gather (compact
         # layouts end to end — row-major variants force either a strided
@@ -647,7 +692,7 @@ def _bwd_kernel(
             dma_out(slot, c - 2).wait()
 
         boffg = pl.multiple_of(slot * SLAB_W, SLAB_W)
-        gbuf[pl.ds(boffg, SLAB_W), :] = gradT.T
+        gbuf[pl.ds(boffg, rw), :] = gradT.T[:rw]
         dma_out(slot, c).start()
         return (c + 1, T_raw, prefix)
 
