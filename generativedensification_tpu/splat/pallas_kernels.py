@@ -298,10 +298,13 @@ def _transmittance(alpha, T_raw, Ls=None):
       T_exc_k = T_raw * prod_{j<k} (1 - a_j)
       U_k = T_exc_k (1 - a_k);  inc_k = U_k >= T_EPS
       W_k = a_k T_exc_k inc_k
-    Returns (W, T_exc, inc_bool, T_raw_out) with T_raw_out = T_raw *
+    Returns (W, T_exc, inc_bool, T_raw_out, U) with T_raw_out = T_raw *
     prod(1-a).  ``inc_bool`` is the boolean include mask — consumers gate
     with one ``where`` instead of a float cast + multiply (saves a VPU
-    pass per use; select-by-mask is bit-identical to *1.0/*0.0).
+    pass per use; select-by-mask is bit-identical to *1.0/*0.0).  ``U``
+    (the inclusive transmittance) is returned because it already exists
+    inside the ladder — the surfel kernels' median-depth crossing test
+    would otherwise recompute it (2 full-shape passes).
 
     ``Ls=None`` (the 3DGS kernels): shift-multiply ladder.  With a strict
     lower-tri ``Ls``: exp(Ls @ log1p(-alpha)) on the MXU (see ``_tril``).
@@ -316,7 +319,7 @@ def _transmittance(alpha, T_raw, Ls=None):
     inc = U >= T_EPS
     W = jnp.where(inc, alpha * T_exc, 0.0)
     T_raw_out = U[-1:]
-    return W, T_exc, inc, T_raw_out
+    return W, T_exc, inc, T_raw_out, U
 
 
 def _fwd_kernel(
@@ -363,7 +366,7 @@ def _fwd_kernel(
         AT = A.T
         alpha = _alpha_matrix(A, AT, c * CHUNK - head, count, basis8, ox, oy)
 
-        W, T_exc, inc, T_raw = _transmittance(alpha, T_raw)
+        W, T_exc, inc, T_raw, _ = _transmittance(alpha, T_raw)
 
         C4 = C4 + jax.lax.dot_general(
             _color_lhs(A), W,
@@ -576,7 +579,7 @@ def _bwd_kernel(
             precision=MM_PRECISION,
         )  # (CHUNK, NPIX)
 
-        W, T_exc, inc, T_raw = _transmittance(alpha, T_raw)
+        W, T_exc, inc, T_raw, _ = _transmittance(alpha, T_raw)
         pref = prefix + _cumsum0(contrib * W)     # inclusive prefix rows
         prefix = pref[-1:]
 

@@ -55,8 +55,8 @@ SLAB_W2 = 32
 
 # slab row indices (attribute-major)
 (_AX, _AY, _AZ, _BX, _BY, _BZ, _CX, _CY, _CZ, _DET,
- _PX, _PY, _OPA, _R, _G, _BL, _NX, _NY, _NZ) = range(19)
-N_ATTR = 19
+ _PX, _PY, _OPA, _R, _G, _BL, _NX, _NY, _NZ, _RAD) = range(20)
+N_ATTR = 20
 
 
 def _pix_rows(t, tiles_x: int, ts: int):
@@ -68,12 +68,26 @@ def _pix_rows(t, tiles_x: int, ts: int):
     return Xl, Yl, ox.astype(jnp.float32), oy.astype(jnp.float32)
 
 
-def _chunk_geometry(AT, Xl, Yl, ox, oy, offset, count, znear, zfar):
+def _chunk_geometry(AT, Xl, Yl, ox, oy, offset, count, znear, zfar,
+                    depth: bool = True, bwd: bool = False):
     """Shared fwd/bwd per-chunk geometry.
 
     Returns (alpha, sel3 (g3d branch mask), crx, cry, rz, zhit, m, dmdz,
-    dx2v, dy2v) — everything the backward also needs.
+    dxl, dyl).  ``sel3`` is gated by ``bwd``, ``m`` by ``depth`` and
+    ``dmdz`` by both (None when gated) — the forward never consumes
+    dmdz/sel3 and the selection backward consumes neither depth
+    quantity; the kernels are full-shape-VPU-pass bound (PERF.md), so
+    every gated quantity is a pass saved.
     AT: (CHUNK, SLAB_W2) chunk attributes.
+
+    Round-3 op diet (each bit-exact vs the round-2 form):
+      * row-liveness folded into the opacity COLUMN instead of a
+        (CHUNK, NPIX) mask (3DGS ``_alpha_matrix`` rationale),
+      * the power <= 0 cull dropped: g3d and g2d are -0.5·(sums of
+        squares), <= 0 by f32 construction — the test never fired,
+      * g2d's /FILTER_2D_VAR folded into the -0.5 constant (both are
+        powers of two),
+      * the circular truncation reuses g2d's d² (one extra cmp).
     """
     col = lambda i: AT[:, i:i + 1]
     # shift the affine constant to tile-local pixel coordinates
@@ -90,18 +104,27 @@ def _chunk_geometry(AT, Xl, Yl, ox, oy, offset, count, znear, zfar):
     g3d = -0.5 * (u * u + v * v)
     dxl = Xl - (col(_PX) - ox)
     dyl = Yl - (col(_PY) - oy)
-    g2d = -0.5 * (dxl * dxl + dyl * dyl) / FILTER_2D_VAR
-    sel3 = (g3d >= g2d).astype(jnp.float32)
+    d2 = dxl * dxl + dyl * dyl
+    g2d = (-0.5 / FILTER_2D_VAR) * d2
+    sel3 = (g3d >= g2d).astype(jnp.float32) if bwd else None
     power = jnp.maximum(g3d, g2d)
     zhit = col(_DET) * rz
 
-    row_idx = jax.lax.broadcasted_iota(jnp.int32, crx.shape, 0)
-    pos = offset + row_idx
-    live = (pos >= 0) & (pos < count)
-    alpha = jnp.minimum(ALPHA_MAX, col(_OPA) * jnp.exp(power))
-    ok = (power <= 0.0) & (alpha >= ALPHA_MIN) & live & (zhit > NEAR_CULL)
+    # liveness (chunk head/tail rows) is a PER-ROW fact: mask the opacity
+    # column, not the full matrix.  The iota is (CHUNK, SLAB_W2)-shaped
+    # because (CHUNK, 1) iotas mis-lower on TPU.
+    pos = offset + jax.lax.broadcasted_iota(jnp.int32, AT.shape, 0)
+    live_c = (pos[:, :1] >= 0) & (pos[:, :1] < count)   # (CHUNK, 1)
+    opa_c = jnp.where(live_c, col(_OPA), 0.0)
+    alpha = jnp.minimum(ALPHA_MAX, opa_c * jnp.exp(power))
+    # hard circular truncation at the screen radius (row _RAD) — makes the
+    # binning's circle cull output-exact (see surfel.rasterize_surfels)
+    rcut = col(_RAD)
+    ok = (alpha >= ALPHA_MIN) & (zhit > NEAR_CULL) & (d2 <= rcut * rcut)
     alpha = jnp.where(ok, alpha, 0.0)
 
+    if not depth:
+        return alpha, sel3, crx, cry, rz, zhit, None, None, dxl, dyl
     F = zfar / (zfar - znear)
     # 1/zhit = safe/det: one per-surfel reciprocal instead of two full
     # (CHUNK, NPIX) divisions (znear/zc and the dmdz quotient)
@@ -110,7 +133,10 @@ def _chunk_geometry(AT, Xl, Yl, ox, oy, offset, count, znear, zfar):
     rdet = jnp.where(jnp.abs(det_c) < 1e-12, 0.0, 1.0 / det_safe)
     inv_zc = jnp.where(zhit > 1e-6, safe * rdet, 1e6)  # = 1/max(zhit, 1e-6)
     m = F * (1.0 - znear * inv_zc)
-    dmdz = jnp.where(zhit > 1e-6, F * znear * inv_zc * inv_zc, 0.0)
+    dmdz = (
+        jnp.where(zhit > 1e-6, F * znear * inv_zc * inv_zc, 0.0)
+        if bwd else None
+    )
     return alpha, sel3, crx, cry, rz, zhit, m, dmdz, dxl, dyl
 
 
@@ -179,7 +205,8 @@ def _fwd_kernel(
         A = buf[pl.ds(boff, SLAB_W2)]            # (SLAB_W2, CHUNK)
         AT = A.T
         alpha, _, _, _, _, zhit, m, _, _, _ = _chunk_geometry(
-            AT, Xl, Yl, ox, oy, c * CHUNK - head, count, znear, zfar
+            AT, Xl, Yl, ox, oy, c * CHUNK - head, count, znear, zfar,
+            depth=True, bwd=False,
         )
 
         # shift-ladder transmittance + prefixes: the earlier triangular-
@@ -187,7 +214,7 @@ def _fwd_kernel(
         # HIGHEST-precision (CHUNK,CHUNK)@(CHUNK,NPIX) MXU passes per
         # chunk across fwd+bwd — measured the dominant term of the 48ms
         # bwd at 512²/131k; the ladders are ~7 VPU ops each
-        W, T_exc, inc, T_raw_new = _transmittance(alpha, T_raw)
+        W, T_exc, inc, T_raw_new, U = _transmittance(alpha, T_raw)
 
         wm = W * m
         wm2 = wm * m
@@ -207,7 +234,6 @@ def _fwd_kernel(
         m1 = m1 + jnp.sum(wm, axis=0, keepdims=True)
         m2 = m2 + jnp.sum(wm2, axis=0, keepdims=True)
 
-        U = T_exc * (1.0 - alpha)
         crossed = ((T_exc > 0.5) & (U < 0.5) & (alpha > 0.0)).astype(
             jnp.float32
         )
@@ -239,7 +265,7 @@ def _fwd_kernel(
     )
 
 
-def _pack_surfel_table_t(acr, bcr, ccr, det, xy, color, opacity, normal):
+def _pack_surfel_table_t(acr, bcr, ccr, det, xy, rad, color, opacity, normal):
     """Attribute-major (SLAB_W2, N) table."""
     N = det.shape[0]
     f = lambda v: v.astype(jnp.float32)
@@ -253,12 +279,13 @@ def _pack_surfel_table_t(acr, bcr, ccr, det, xy, color, opacity, normal):
         f(opacity),
         f(color[:, 0]), f(color[:, 1]), f(color[:, 2]),
         f(normal[:, 0]), f(normal[:, 1]), f(normal[:, 2]),
+        f(rad),
     ]
     rows += [zero] * (SLAB_W2 - len(rows))
     return jnp.stack(rows, axis=0)
 
 
-def _sorted_surfel_slab(acr, bcr, ccr, det, xy, color, opacity, normal,
+def _sorted_surfel_slab(acr, bcr, ccr, det, xy, rad, color, opacity, normal,
                         ids, depth_order, sorted_rank):
     # direct gather for small N, two-hop depth-order + piecewise-monotone
     # rank gather above it (see composite._sorted_slab for the rationale)
@@ -267,7 +294,7 @@ def _sorted_surfel_slab(acr, bcr, ccr, det, xy, color, opacity, normal,
     P = sorted_rank.shape[0]
     pad = (-P) % CHUNK + CHUNK
     table_t = _pack_surfel_table_t(
-        acr, bcr, ccr, det, xy, color, opacity, normal
+        acr, bcr, ccr, det, xy, rad, color, opacity, normal
     )
     if table_t.shape[1] <= DIRECT_GATHER_MAX_N:
         sorted_t = jnp.take(table_t, ids, axis=1, mode="clip")
@@ -277,8 +304,9 @@ def _sorted_surfel_slab(acr, bcr, ccr, det, xy, color, opacity, normal,
     return jnp.pad(sorted_t, ((0, 0), (0, pad)))
 
 
-def pallas_surfel_fwd(acr, bcr, ccr, det, xy, color, opacity, normal, bg,
-                      znear, zfar, bins_arrays, tiles_x, tiles_y, tile_size):
+def pallas_surfel_fwd(acr, bcr, ccr, det, xy, rad, color, opacity, normal,
+                      bg, znear, zfar, bins_arrays, tiles_x, tiles_y,
+                      tile_size):
     from .composite import _untile
 
     assert tile_size in (16, 32), "pallas surfel path supports 16/32px tiles"
@@ -286,7 +314,7 @@ def pallas_surfel_fwd(acr, bcr, ccr, det, xy, color, opacity, normal, bg,
     ids, _, _, sorted_rank, depth_order, tile_starts, tile_counts = bins_arrays
     num_tiles = tiles_x * tiles_y
     slab_t = _sorted_surfel_slab(
-        acr, bcr, ccr, det, xy, color, opacity, normal,
+        acr, bcr, ccr, det, xy, rad, color, opacity, normal,
         ids, depth_order, sorted_rank,
     )
     scal = jnp.stack([znear.astype(jnp.float32), zfar.astype(jnp.float32)])
@@ -344,7 +372,7 @@ def _bwd_kernel(
     cot_in, tot_in,
     zeros_in, grad_hbm,
     buf, gbuf, sem, gsem,
-    *, tiles_x: int, ts: int, with_sel: bool = False,
+    *, tiles_x: int, ts: int, mode: str = "full",
 ):
     t = pl.program_id(0)
     start = starts_ref[t]
@@ -359,15 +387,19 @@ def _bwd_kernel(
     n_chunks = pl.cdiv(head + count, CHUNK)
 
     # cotangent rows: [gCr gCg gCb gNx gNy gNz gDexp gdist] + row block 2:
-    # [G, gTf, gDmed, Wtot(1-Tfin), M1tot, M2tot, 0, 0]
+    # [G2 (gTf pre-folded), gDmed, Wtot(1-Tfin), M1tot, M2tot, 0, 0, 0]
+    # ``mode``: "full" emits the 19 grad rows; "selonly" is the fused
+    # AbsGS selection pass (surfel._fwd_sel_impl) whose cotangent is
+    # image-only — it statically skips the depth/median/distortion
+    # machinery (the wm/wm² prefix ladders, suffix moments, gm/gz/
+    # crossed) and emits ONLY the two |d/dscreen| rows.
     cot = cot_in[0]            # (8, NPIX)
     aux = tot_in[0]            # (8, NPIX)
-    G = aux[0:1]
-    gTf = aux[1:2]
-    gDmed = aux[2:3]
-    Wtot = aux[3:4]
-    M1tot = aux[4:5]
-    M2tot = aux[5:6]
+    G2 = aux[0:1]
+    gDmed = aux[1:2]
+    Wtot = aux[2:3]
+    M1tot = aux[3:4]
+    M2tot = aux[4:5]
     gdist = cot[7:8]
     gDexp = cot[6:7]
 
@@ -409,22 +441,12 @@ def _bwd_kernel(
         AT = A.T
         col = lambda i: AT[:, i:i + 1]
         alpha, sel3, crx, cry, rz, zhit, m, dmdz, dxl, dyl = _chunk_geometry(
-            AT, Xl, Yl, ox, oy, c * CHUNK - head, count, znear, zfar
+            AT, Xl, Yl, ox, oy, c * CHUNK - head, count, znear, zfar,
+            depth=(mode != "selonly"), bwd=True,
         )
 
         # ladders, not triangular matmuls — see _fwd_kernel rationale
-        W, T_exc, inc, T_raw_new = _transmittance(alpha, T_raw)
-        wm = W * m
-        wm2 = wm * m
-        m1_pref = m1 + _cumsum0(wm) - wm
-        m2_pref = m2 + _cumsum0(wm2) - wm2
-        a_pref = 1.0 - T_exc
-        d_i = m * m * a_pref + m2_pref - 2.0 * m * m1_pref
-
-        # suffix moments (totals minus inclusive prefixes)
-        Sw = Wtot - (a_pref + W)
-        Swm = M1tot - (m1_pref + wm)
-        Sw2 = M2tot - (m2_pref + wm2)
+        W, T_exc, inc, T_raw_new, U = _transmittance(alpha, T_raw)
 
         # direct dL/dw
         base_cw = jax.lax.dot_general(
@@ -433,48 +455,65 @@ def _bwd_kernel(
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )  # (CHUNK, NPIX): gC·col + gN·nrm
-        cw = base_cw + gDexp * zhit + gdist * (
-            d_i + Sw2 + m * m * Sw - 2.0 * m * Swm
-        )
 
-        # dL/dm and dL/dz
-        gm = 2.0 * gdist * W * (m * a_pref - m1_pref + m * Sw - Swm)
-        U = T_exc * (1.0 - alpha)
-        crossed = ((T_exc > 0.5) & (U < 0.5) & (alpha > 0.0)).astype(
-            jnp.float32
-        )
-        gz = W * gDexp + gm * dmdz + gDmed * crossed
+        if mode == "selonly":
+            # image-only cotangent: every depth/median/distortion term
+            # is statically zero — cw is the color row alone and the
+            # z-chain (gz) vanishes
+            cw = base_cw
+        else:
+            wm = W * m
+            wm2 = wm * m
+            m1_pref = m1 + _cumsum0(wm) - wm
+            m2_pref = m2 + _cumsum0(wm2) - wm2
+            a_pref = 1.0 - T_exc
+            d_i = m * m * a_pref + m2_pref - 2.0 * m * m1_pref
 
-        # alpha chain (suffix trick; prefix accumulates cw·w)
+            # suffix moments (totals minus inclusive prefixes)
+            Sw = Wtot - (a_pref + W)
+            Swm = M1tot - (m1_pref + wm)
+            Sw2 = M2tot - (m2_pref + wm2)
+
+            cw = base_cw + gDexp * zhit + gdist * (
+                d_i + Sw2 + m * m * Sw - 2.0 * m * Swm
+            )
+
+            # dL/dm and dL/dz
+            gm = 2.0 * gdist * W * (m * a_pref - m1_pref + m * Sw - Swm)
+            crossed = ((T_exc > 0.5) & (U < 0.5) & (alpha > 0.0)).astype(
+                jnp.float32
+            )
+            gz = W * gDexp + gm * dmdz + gDmed * crossed
+
+        # alpha chain (suffix trick; prefix accumulates cw·w; gTf rides
+        # in G2 so the suffix term needs no separate add)
         pref = prefix + _cumsum0(cw * W)
-        suffix = G - pref
+        suffix = G2 - pref
         inv_1ma = _recip(jnp.maximum(1.0 - alpha, 1.0 - ALPHA_MAX))
-        inc_m = (T_exc * inc > 0.0).astype(jnp.float32)
-        g_alpha = inc_m * (cw * T_exc - (suffix + gTf) * inv_1ma)
+        g_alpha = jnp.where(inc, cw * T_exc - suffix * inv_1ma, 0.0)
 
-        not_clamped = (alpha < ALPHA_MAX).astype(jnp.float32)
-        g_power = g_alpha * not_clamped * alpha
+        g_power = jnp.where(alpha < ALPHA_MAX, g_alpha * alpha, 0.0)
         g3 = g_power * sel3
-        g2 = g_power * (1.0 - sel3)
+        g2 = g_power - g3          # = g_power·(1-sel3), one pass cheaper
 
         # g3d = -0.5 (crx² + cry²) rz²; zhit = det·rz
         rz2 = rz * rz
         d_crx = -crx * rz2 * g3
         d_cry = -cry * rz2 * g3
-        d_crz = (crx * crx + cry * cry) * rz2 * rz * g3 - gz * col(_DET) * rz2
+        d_crz = (crx * crx + cry * cry) * rz2 * rz * g3
+        if mode != "selonly":
+            d_crz = d_crz - gz * col(_DET) * rz2
         crz_ok = (jnp.abs(1.0 / rz) > 1e-8).astype(jnp.float32)
         d_crz = d_crz * crz_ok
 
-        Xg = Xl + ox
-        Yg = Yl + oy
         rsum = lambda v: jnp.sum(v, axis=1, keepdims=True)   # (CHUNK, 1)
-        if with_sel:
-            # AbsGS screen-translation rows (sel invocations only: the
-            # image-MSE cotangent makes gz = 0, so d_cr* are pure power
-            # terms).  Translating a surfel by (ox, oy) perturbs
-            # a -> a - B·ox - C·oy (3D branch) and the filter center
-            # p -> p + o (2D branch); per pixel exactly one branch is
-            # live, so the terms never mix.
+        zcols = lambda k: jnp.zeros((CHUNK, k), jnp.float32)
+        if mode == "selonly":
+            # AbsGS screen-translation rows (the image-MSE cotangent
+            # makes gz = 0, so d_cr* are pure power terms).  Translating
+            # a surfel by (ox, oy) perturbs a -> a - B·ox - C·oy (3D
+            # branch) and the filter center p -> p + o (2D branch); per
+            # pixel exactly one branch is live, so the terms never mix.
             gx_px = (
                 -(d_crx * col(_BX) + d_cry * col(_BY) + d_crz * col(_BZ))
                 + g2 * dxl * (1.0 / FILTER_2D_VAR)
@@ -483,27 +522,35 @@ def _bwd_kernel(
                 -(d_crx * col(_CX) + d_cry * col(_CY) + d_crz * col(_CZ))
                 + g2 * dyl * (1.0 / FILTER_2D_VAR)
             )
-            sel_rows = [rsum(jnp.abs(gx_px)), rsum(jnp.abs(gy_px))]
+            gradT = jnp.concatenate(
+                [
+                    zcols(N_ATTR),
+                    rsum(jnp.abs(gx_px)), rsum(jnp.abs(gy_px)),
+                    zcols(SLAB_W2 - N_ATTR - 2),
+                ],
+                axis=1,
+            )
         else:
-            sel_rows = []
-        gradT = jnp.concatenate(
-            [
-                rsum(d_crx), rsum(d_cry), rsum(d_crz),
-                rsum(d_crx * Xg), rsum(d_cry * Xg), rsum(d_crz * Xg),
-                rsum(d_crx * Yg), rsum(d_cry * Yg), rsum(d_crz * Yg),
-                rsum(gz * rz),
-                rsum(g2 * dxl) / FILTER_2D_VAR,
-                rsum(g2 * dyl) / FILTER_2D_VAR,
-                rsum(g_power) / jnp.maximum(col(_OPA), 1e-12),
-                rsum(W * cot[0:1]), rsum(W * cot[1:2]), rsum(W * cot[2:3]),
-                rsum(W * cot[3:4]), rsum(W * cot[4:5]), rsum(W * cot[5:6]),
-                *sel_rows,
-                jnp.zeros(
-                    (CHUNK, SLAB_W2 - N_ATTR - len(sel_rows)), jnp.float32
-                ),
-            ],
-            axis=1,
-        )  # (CHUNK, SLAB_W2) — grad rows mirror the attribute layout
+            Xg = Xl + ox
+            Yg = Yl + oy
+            gradT = jnp.concatenate(
+                [
+                    rsum(d_crx), rsum(d_cry), rsum(d_crz),
+                    rsum(d_crx * Xg), rsum(d_cry * Xg), rsum(d_crz * Xg),
+                    rsum(d_crx * Yg), rsum(d_cry * Yg), rsum(d_crz * Yg),
+                    rsum(gz * rz),
+                    rsum(g2 * dxl) / FILTER_2D_VAR,
+                    rsum(g2 * dyl) / FILTER_2D_VAR,
+                    rsum(g_power) / jnp.maximum(col(_OPA), 1e-12),
+                    rsum(W * cot[0:1]), rsum(W * cot[1:2]),
+                    rsum(W * cot[2:3]),
+                    rsum(W * cot[3:4]), rsum(W * cot[4:5]),
+                    rsum(W * cot[5:6]),
+                    zcols(1),                        # _RAD (non-diff)
+                    zcols(SLAB_W2 - N_ATTR),
+                ],
+                axis=1,
+            )  # (CHUNK, SLAB_W2) — grad rows mirror the attribute layout
         # double-buffered grad writeback (overlap copy with next chunk)
         slot = jax.lax.rem(c, 2)
 
@@ -515,8 +562,9 @@ def _bwd_kernel(
         gbuf[pl.ds(boffg, SLAB_W2), :] = gradT.T
         dma_out(slot, c).start()
 
-        m1 = m1 + jnp.sum(wm, axis=0, keepdims=True)
-        m2 = m2 + jnp.sum(wm2, axis=0, keepdims=True)
+        if mode != "selonly":
+            m1 = m1 + jnp.sum(wm, axis=0, keepdims=True)
+            m2 = m2 + jnp.sum(wm2, axis=0, keepdims=True)
         return (c + 1, T_raw_new, pref[-1:], m1, m2)
 
     def cond(state):
@@ -541,17 +589,23 @@ def _bwd_kernel(
 
 
 def pallas_surfel_bwd(saved, cot, tiles_x, tiles_y, tile_size,
-                      with_sel: bool = False):
+                      mode: str = "full"):
     """Hand-written backward: returns ``(grads, sel_abs)`` where grads are
     for (acr, bcr, ccr, det, xy, color, opacity, normal, bg) — the
-    differentiable args of ``composite_surfels`` minus znear/zfar/bins
+    differentiable args of ``composite_surfels`` minus rad/znear/zfar/bins
     (handled by the caller) — and ``sel_abs`` is the (N, 2) AbsGS
-    screen-translation rows when ``with_sel`` (None otherwise)."""
+    screen-translation rows in ``mode="selonly"`` (None otherwise).
+
+    ``mode="selonly"`` is the fused-selection pass: the cotangent is
+    image-only by construction (``surfel._fwd_sel_impl``), so the kernel
+    statically skips the depth/median/distortion machinery and only the
+    sel rows of the returned grads are meaningful."""
     from .composite import (
         _grad_slab_width, _reduce_grad_rows, _slab_maps, _tile,
     )
 
-    (acr, bcr, ccr, det, xy, color, opacity, normal, bg, znear, zfar,
+    assert mode in ("full", "selonly"), mode
+    (acr, bcr, ccr, det, xy, rad, color, opacity, normal, bg, znear, zfar,
      bins_arrays, res, out) = saved
     ids, _, _, sorted_rank, depth_order, tile_starts, tile_counts = bins_arrays
     gC_img, gA_img, gDexp_img, gDmed_img, gN_img, gdist_img = cot
@@ -569,14 +623,19 @@ def pallas_surfel_bwd(saved, cot, tiles_x, tiles_y, tile_size,
     gDmed = t1(gDmed_img)
     gdist = t1(gdist_img)
 
-    # suffix-trick totals (see module docstring)
-    G = (
-        jnp.einsum("tpc,tpc->tp", gC, C_t)
-        + jnp.einsum("tpc,tpc->tp", gN, N_t)
-        + gDexp * Dexp_t
-        + 2.0 * gdist * dist_t
-    )
-    gTf = (jnp.einsum("tpc,c->tp", gC, bg) - gA) * Tfin_t
+    # suffix-trick totals (see module docstring); in selonly mode every
+    # non-image cotangent is statically zero — skip those terms
+    G = jnp.einsum("tpc,tpc->tp", gC, C_t)
+    if mode != "selonly":
+        G = (
+            G
+            + jnp.einsum("tpc,tpc->tp", gN, N_t)
+            + gDexp * Dexp_t
+            + 2.0 * gdist * dist_t
+        )
+    # dL/dT_fin term pre-folded into the suffix total (one fewer
+    # full-shape add per chunk in the kernel)
+    G2 = G + (jnp.einsum("tpc,c->tp", gC, bg) - gA) * Tfin_t
 
     cot8 = jnp.concatenate(
         [
@@ -587,9 +646,9 @@ def pallas_surfel_bwd(saved, cot, tiles_x, tiles_y, tile_size,
     )  # (T, 8, npix)
     aux8 = jnp.concatenate(
         [
-            G[:, None], gTf[:, None], gDmed[:, None],
+            G2[:, None], gDmed[:, None],
             (1.0 - Tfin_t)[:, None], m1_t[:, None], m2_t[:, None],
-            jnp.zeros((num_tiles, 2, npix), jnp.float32),
+            jnp.zeros((num_tiles, 3, npix), jnp.float32),
         ],
         axis=1,
     )  # (T, 8, npix)
@@ -597,7 +656,7 @@ def pallas_surfel_bwd(saved, cot, tiles_x, tiles_y, tile_size,
     astarts, apos = _slab_maps(bins_arrays, num_tiles)
     M = _grad_slab_width(ids.shape[0], num_tiles)
     slab_t = _sorted_surfel_slab(
-        acr, bcr, ccr, det, xy, color, opacity, normal,
+        acr, bcr, ccr, det, xy, rad, color, opacity, normal,
         ids, depth_order, sorted_rank,
     )
     scal = jnp.stack([znear.astype(jnp.float32), zfar.astype(jnp.float32)])
@@ -623,7 +682,7 @@ def pallas_surfel_bwd(saved, cot, tiles_x, tiles_y, tile_size,
         ],
     )
     kernel = functools.partial(
-        _bwd_kernel, tiles_x=tiles_x, ts=tile_size, with_sel=with_sel
+        _bwd_kernel, tiles_x=tiles_x, ts=tile_size, mode=mode
     )
     grad_al = pl.pallas_call(
         kernel,
@@ -653,5 +712,5 @@ def pallas_surfel_bwd(saved, cot, tiles_x, tiles_y, tile_size,
     d_nrm = g[:, _NX:_NX + 3]
     d_bg = jnp.einsum("tpc,tp->c", gC, Tfin_t)
     grads = (d_acr, d_bcr, d_ccr, d_det, d_xy, d_col, d_opa, d_nrm, d_bg)
-    sel_abs = g[:, N_ATTR:N_ATTR + 2] if with_sel else None
+    sel_abs = g[:, N_ATTR:N_ATTR + 2] if mode == "selonly" else None
     return grads, sel_abs

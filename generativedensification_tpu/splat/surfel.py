@@ -194,9 +194,10 @@ def rasterize_surfels(
     """Differentiably splat N activated surfels into one camera.
 
     ``enum_tiles``: rect-tile enumeration window (see ``bin_gaussians``).
-    Surfels carry a zero conic, so the ellipse cull bound is 0 <= tau and
-    never fires — the window only controls how many rect tiles can be
-    binned per surfel before the ``max_tiles`` budget drops live pairs.
+    Surfels carry an isotropic circle conic sized to their truncation
+    radius (see below), so the ellipse cull drops the rect's corner tiles
+    exactly; the window controls how many rect tiles can be enumerated
+    per surfel before the ``max_tiles`` budget drops live pairs.
 
     ``sel_gt``: optional (H, W, 3) ground truth; when given, the output
     additionally carries ``sel_abs`` — per-surfel absolute screen-
@@ -217,9 +218,23 @@ def rasterize_surfels(
         means3d, scales2d, rotations, opacities, shs, camera, sh_degree
     )
     acr, bcr, ccr, det = _surfel_coeffs(M)
+    # Circular footprint: the compositor truncates every surfel at its
+    # screen radius R (a documented truncation exactly like the CUDA
+    # rasterizers' 3-sigma bounding RECT — R already includes the 2D
+    # filter margin), which makes a per-(surfel, tile) circle cull EXACT
+    # by construction.  Encoded as an isotropic conic lam = 2*tau/R², so
+    # ``bin_gaussians``'s generic ellipse bound fires exactly at screen
+    # distance d > R — surfels previously carried a zero conic and were
+    # binned to their full bounding rects (round-3 probe: 9% of the bench
+    # scene's live pairs were ALSO being silently dropped by the rect
+    # enumeration window; the circle cull removes corner tiles instead).
+    opacity_f = opacities.astype(jnp.float32)
+    tau = jnp.log(jnp.maximum(opacity_f, 1e-12) * 255.0)
+    lam = 2.0 * tau / jnp.maximum(radius, 1.0) ** 2
+    conic_circ = jnp.stack([lam, jnp.zeros_like(lam), lam], axis=-1)
     proj = ProjectedGaussians(
-        xy=xy, depth=depth, conic=jnp.zeros_like(n_view), color=color,
-        opacity=opacities.astype(jnp.float32), radius=radius, valid=valid,
+        xy=xy, depth=depth, conic=conic_circ, color=color,
+        opacity=opacity_f, radius=radius, valid=valid,
     )
     bins = bin_gaussians(
         proj, H, W, tile_size=tile_size, max_tiles=max_tiles,
@@ -228,7 +243,8 @@ def rasterize_surfels(
 
     opacity_eff = jnp.where(valid, proj.opacity, 0.0)
     comp_args = (
-        acr, bcr, ccr, det, xy, color, opacity_eff, n_view,
+        acr, bcr, ccr, det, xy, jax.lax.stop_gradient(radius), color,
+        opacity_eff, n_view,
         bg.astype(jnp.float32),
         jnp.asarray(camera.znear, jnp.float32),
         jnp.asarray(camera.zfar, jnp.float32),
@@ -274,54 +290,58 @@ def rasterize_surfels(
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15, 16, 17))
+@partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16, 17, 18))
 def composite_surfels(
-    acr, bcr, ccr, det, xy, color, opacity, normal, bg, znear, zfar,
+    acr, bcr, ccr, det, xy, rad, color, opacity, normal, bg, znear, zfar,
     bins_arrays,
     tiles_x: int, tiles_y: int, tile_size: int,
     max_per_tile: int, chunk: int, backend: str = "xla",
 ):
     """Composite N surfels -> (image, alpha, depth_exp, depth_med, normal,
-    dist), each (Ht, Wt[, ch]) at tile-padded resolution."""
+    dist), each (Ht, Wt[, ch]) at tile-padded resolution.
+
+    ``rad``: (N,) screen truncation radius (non-differentiable) — pixels
+    farther than ``rad`` from the filter center contribute exactly zero,
+    making the binning's circle cull output-exact."""
     out, _ = _fwd_impl(
-        acr, bcr, ccr, det, xy, color, opacity, normal, bg, znear, zfar,
+        acr, bcr, ccr, det, xy, rad, color, opacity, normal, bg, znear, zfar,
         bins_arrays, tiles_x, tiles_y, tile_size, max_per_tile, chunk, backend,
     )
     return out
 
 
-def _fwd_impl(acr, bcr, ccr, det, xy, color, opacity, normal, bg, znear, zfar,
-              bins_arrays, tiles_x, tiles_y, tile_size, max_per_tile, chunk,
-              backend):
+def _fwd_impl(acr, bcr, ccr, det, xy, rad, color, opacity, normal, bg,
+              znear, zfar, bins_arrays, tiles_x, tiles_y, tile_size,
+              max_per_tile, chunk, backend):
     if backend == "pallas":
         from .pallas_surfel import pallas_surfel_fwd
 
         return pallas_surfel_fwd(
-            acr, bcr, ccr, det, xy, color, opacity, normal, bg, znear, zfar,
-            bins_arrays, tiles_x, tiles_y, tile_size,
+            acr, bcr, ccr, det, xy, rad, color, opacity, normal, bg, znear,
+            zfar, bins_arrays, tiles_x, tiles_y, tile_size,
         )
     out = _xla_scan_fwd(
-        acr, bcr, ccr, det, xy, color, opacity, normal, bg, znear, zfar,
+        acr, bcr, ccr, det, xy, rad, color, opacity, normal, bg, znear, zfar,
         bins_arrays, tiles_x, tiles_y, tile_size, max_per_tile, chunk,
     )
     return out, None
 
 
-def _composite_fwd(acr, bcr, ccr, det, xy, color, opacity, normal, bg,
+def _composite_fwd(acr, bcr, ccr, det, xy, rad, color, opacity, normal, bg,
                    znear, zfar, bins_arrays, tiles_x, tiles_y, tile_size,
                    max_per_tile, chunk, backend="xla"):
     out, res = _fwd_impl(
-        acr, bcr, ccr, det, xy, color, opacity, normal, bg, znear, zfar,
+        acr, bcr, ccr, det, xy, rad, color, opacity, normal, bg, znear, zfar,
         bins_arrays, tiles_x, tiles_y, tile_size, max_per_tile, chunk, backend,
     )
-    saved = (acr, bcr, ccr, det, xy, color, opacity, normal, bg, znear, zfar,
-             bins_arrays, res, out)
+    saved = (acr, bcr, ccr, det, xy, rad, color, opacity, normal, bg, znear,
+             zfar, bins_arrays, res, out)
     return out, saved
 
 
 def _composite_bwd(tiles_x, tiles_y, tile_size, max_per_tile, chunk, backend,
                    saved, cot):
-    (acr, bcr, ccr, det, xy, color, opacity, normal, bg, znear, zfar,
+    (acr, bcr, ccr, det, xy, rad, color, opacity, normal, bg, znear, zfar,
      bins_arrays, res, out) = saved
     if backend == "pallas":
         from .pallas_surfel import pallas_surfel_bwd
@@ -329,16 +349,19 @@ def _composite_bwd(tiles_x, tiles_y, tile_size, max_per_tile, chunk, backend,
         grads, _ = pallas_surfel_bwd(
             saved, cot, tiles_x, tiles_y, tile_size,
         )
+        grads = (*grads[:5], jnp.zeros_like(rad), *grads[5:])
     else:
         # ground-truth backend: recompute-and-autodiff through the scan
-        def f(acr, bcr, ccr, det, xy, color, opacity, normal, bg):
+        def f(acr, bcr, ccr, det, xy, rad, color, opacity, normal, bg):
             return _xla_scan_fwd(
-                acr, bcr, ccr, det, xy, color, opacity, normal, bg,
+                acr, bcr, ccr, det, xy, rad, color, opacity, normal, bg,
                 znear, zfar, bins_arrays, tiles_x, tiles_y, tile_size,
                 max_per_tile, chunk,
             )
 
-        _, vjp = jax.vjp(f, acr, bcr, ccr, det, xy, color, opacity, normal, bg)
+        _, vjp = jax.vjp(
+            f, acr, bcr, ccr, det, xy, rad, color, opacity, normal, bg
+        )
         grads = vjp(cot)
     import numpy as np
 
@@ -357,9 +380,9 @@ composite_surfels.defvjp(_composite_fwd, _composite_bwd)
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16, 17, 18))
+@partial(jax.custom_vjp, nondiff_argnums=(14, 15, 16, 17, 18, 19))
 def composite_surfels_sel(
-    acr, bcr, ccr, det, xy, color, opacity, normal, bg, znear, zfar,
+    acr, bcr, ccr, det, xy, rad, color, opacity, normal, bg, znear, zfar,
     gt, bins_arrays,
     tiles_x: int, tiles_y: int, tile_size: int,
     max_per_tile: int, chunk: int, backend: str = "xla",
@@ -376,21 +399,21 @@ def composite_surfels_sel(
     cotangent, zero second rasterization; sel_abs is a zero-gradient
     primal output."""
     out, _, sel_abs = _fwd_sel_impl(
-        acr, bcr, ccr, det, xy, color, opacity, normal, bg, znear, zfar,
-        gt, bins_arrays, tiles_x, tiles_y, tile_size, max_per_tile, chunk,
-        backend,
+        acr, bcr, ccr, det, xy, rad, color, opacity, normal, bg, znear,
+        zfar, gt, bins_arrays, tiles_x, tiles_y, tile_size, max_per_tile,
+        chunk, backend,
     )
     return (*out, sel_abs)
 
 
-def _fwd_sel_impl(acr, bcr, ccr, det, xy, color, opacity, normal, bg,
+def _fwd_sel_impl(acr, bcr, ccr, det, xy, rad, color, opacity, normal, bg,
                   znear, zfar, gt, bins_arrays, tiles_x, tiles_y, tile_size,
                   max_per_tile, chunk, backend):
     from .composite import mse_image_cotangent
 
     out, res = _fwd_impl(
-        acr, bcr, ccr, det, xy, color, opacity, normal, bg, znear, zfar,
-        bins_arrays, tiles_x, tiles_y, tile_size, max_per_tile, chunk,
+        acr, bcr, ccr, det, xy, rad, color, opacity, normal, bg, znear,
+        zfar, bins_arrays, tiles_x, tiles_y, tile_size, max_per_tile, chunk,
         backend,
     )
     cot_full = jax.lax.stop_gradient(mse_image_cotangent(out[0], gt))
@@ -405,32 +428,32 @@ def _fwd_sel_impl(acr, bcr, ccr, det, xy, color, opacity, normal, bg,
             jnp.zeros_like(out[5]),
         )
         saved_sel = (
-            sg(acr), sg(bcr), sg(ccr), sg(det), sg(xy), sg(color),
+            sg(acr), sg(bcr), sg(ccr), sg(det), sg(xy), sg(rad), sg(color),
             sg(opacity), sg(normal), sg(bg), znear, zfar, bins_arrays,
             sg(res), jax.tree.map(sg, out),
         )
         _, sel_abs = pallas_surfel_bwd(
-            saved_sel, cot, tiles_x, tiles_y, tile_size, with_sel=True
+            saved_sel, cot, tiles_x, tiles_y, tile_size, mode="selonly"
         )
     else:
         sel_abs = _xla_sel_abs(
-            sg(acr), sg(bcr), sg(ccr), sg(det), sg(xy), sg(color),
+            sg(acr), sg(bcr), sg(ccr), sg(det), sg(xy), sg(rad), sg(color),
             sg(opacity), sg(bg), cot_full, jax.tree.map(sg, out),
             bins_arrays, tiles_x, tiles_y, tile_size, max_per_tile, chunk,
         )
     return out, res, jax.lax.stop_gradient(sel_abs)
 
 
-def _composite_sel_fwd(acr, bcr, ccr, det, xy, color, opacity, normal, bg,
-                       znear, zfar, gt, bins_arrays, tiles_x, tiles_y,
+def _composite_sel_fwd(acr, bcr, ccr, det, xy, rad, color, opacity, normal,
+                       bg, znear, zfar, gt, bins_arrays, tiles_x, tiles_y,
                        tile_size, max_per_tile, chunk, backend="xla"):
     out, res, sel_abs = _fwd_sel_impl(
-        acr, bcr, ccr, det, xy, color, opacity, normal, bg, znear, zfar,
-        gt, bins_arrays, tiles_x, tiles_y, tile_size, max_per_tile, chunk,
-        backend,
+        acr, bcr, ccr, det, xy, rad, color, opacity, normal, bg, znear,
+        zfar, gt, bins_arrays, tiles_x, tiles_y, tile_size, max_per_tile,
+        chunk, backend,
     )
-    saved = (acr, bcr, ccr, det, xy, color, opacity, normal, bg, znear, zfar,
-             bins_arrays, res, out, jax.lax.stop_gradient(gt))
+    saved = (acr, bcr, ccr, det, xy, rad, color, opacity, normal, bg, znear,
+             zfar, bins_arrays, res, out, jax.lax.stop_gradient(gt))
     return (*out, sel_abs), saved
 
 
@@ -442,15 +465,15 @@ def _composite_sel_bwd(tiles_x, tiles_y, tile_size, max_per_tile, chunk,
         tiles_x, tiles_y, tile_size, max_per_tile, chunk, backend,
         tuple(saved_inner), tuple(cot_out),
     )
-    # _composite_bwd returns (*9 arg grads, d_znear, d_zfar, d_bins);
-    # insert the zero gt grad between zfar and bins
-    return (*grads[:11], jnp.zeros_like(gt), grads[11])
+    # _composite_bwd returns (*10 arg grads incl. rad, d_znear, d_zfar,
+    # d_bins); insert the zero gt grad between zfar and bins
+    return (*grads[:12], jnp.zeros_like(gt), grads[12])
 
 
 composite_surfels_sel.defvjp(_composite_sel_fwd, _composite_sel_bwd)
 
 
-def _xla_scan_fwd(acr, bcr, ccr, det, xy, color, opacity, normal, bg,
+def _xla_scan_fwd(acr, bcr, ccr, det, xy, rad, color, opacity, normal, bg,
                   znear, zfar, bins_arrays, tiles_x, tiles_y, tile_size,
                   max_per_tile, chunk):
     ids, _, s_ok_full, _, _, starts, counts = bins_arrays
@@ -462,9 +485,10 @@ def _xla_scan_fwd(acr, bcr, ccr, det, xy, color, opacity, normal, bg,
     X, Y = _tile_pixel_coords(tiles_x, tiles_y, ts)
 
     coef = jnp.concatenate(
-        [acr, bcr, ccr, det[:, None], xy, color, opacity[:, None], normal],
+        [acr, bcr, ccr, det[:, None], xy, color, opacity[:, None], normal,
+         jax.lax.stop_gradient(rad)[:, None]],
         axis=-1,
-    )  # (N, 19)
+    )  # (N, 20)
     s_coef = jnp.take(coef, ids, axis=0)
     s_ok = s_ok_full
     P = s_coef.shape[0]
@@ -477,7 +501,7 @@ def _xla_scan_fwd(acr, bcr, ccr, det, xy, color, opacity, normal, bg,
         base = starts[:, None] + c * chunk + jnp.arange(chunk, dtype=jnp.int32)[None, :]
         in_range = (base - starts[:, None]) < counts[:, None]
         idx = jnp.clip(base, 0, P - 1)
-        g = jnp.take(s_coef, idx.reshape(-1), axis=0).reshape(*idx.shape, 19)
+        g = jnp.take(s_coef, idx.reshape(-1), axis=0).reshape(*idx.shape, 20)
         gok = jnp.take(s_ok, idx.reshape(-1), axis=0).reshape(idx.shape) & in_range
 
         xs = X[:, None, :]                 # (T,1,npix)
@@ -499,9 +523,13 @@ def _xla_scan_fwd(acr, bcr, ccr, det, xy, color, opacity, normal, bg,
         zhit = g[..., 9:10] * rz           # det / cr_z
         gopa = g[..., 15:16]
         alpha = jnp.minimum(ALPHA_MAX, gopa * jnp.exp(power))
+        # hard circular truncation at the screen radius — makes the
+        # binning's circle cull output-exact (see rasterize_surfels)
+        rcut = g[..., 19:20]
+        in_circle = (dx * dx + dy * dy) <= rcut * rcut
         ok = (
             (power <= 0.0) & (alpha >= ALPHA_MIN) & gok[..., None]
-            & (zhit > NEAR_CULL)
+            & (zhit > NEAR_CULL) & in_circle
         )
         alpha = jnp.where(ok, alpha, 0.0)
 
@@ -568,8 +596,8 @@ def _xla_scan_fwd(acr, bcr, ccr, det, xy, color, opacity, normal, bg,
     )
 
 
-def _xla_sel_abs(acr, bcr, ccr, det, xy, color, opacity, bg, cot_full, out,
-                 bins_arrays, tiles_x, tiles_y, tile_size, max_per_tile,
+def _xla_sel_abs(acr, bcr, ccr, det, xy, rad, color, opacity, bg, cot_full,
+                 out, bins_arrays, tiles_x, tiles_y, tile_size, max_per_tile,
                  chunk):
     """Ground-truth AbsGS selection grads for the XLA backend.
 
@@ -598,8 +626,9 @@ def _xla_sel_abs(acr, bcr, ccr, det, xy, color, opacity, bg, cot_full, out,
     gTf = jnp.einsum("tpc,c->tp", cot_t, bg) * T_fin
 
     coef = jnp.concatenate(
-        [acr, bcr, ccr, det[:, None], xy, color, opacity[:, None]], axis=-1,
-    )  # (N, 16)
+        [acr, bcr, ccr, det[:, None], xy, color, opacity[:, None],
+         rad[:, None]], axis=-1,
+    )  # (N, 17)
     s_coef = jnp.take(coef, ids, axis=0)
     P = s_coef.shape[0]
 
@@ -611,7 +640,7 @@ def _xla_sel_abs(acr, bcr, ccr, det, xy, color, opacity, bg, cot_full, out,
         )
         in_range = (base - starts[:, None]) < counts[:, None]
         idx = jnp.clip(base, 0, P - 1)
-        g = jnp.take(s_coef, idx.reshape(-1), axis=0).reshape(*idx.shape, 16)
+        g = jnp.take(s_coef, idx.reshape(-1), axis=0).reshape(*idx.shape, 17)
         gok = (
             jnp.take(s_ok_full, idx.reshape(-1), axis=0).reshape(idx.shape)
             & in_range
@@ -633,9 +662,11 @@ def _xla_sel_abs(acr, bcr, ccr, det, xy, color, opacity, bg, cot_full, out,
         power = jnp.maximum(g3d, g2d)
         zhit = g[..., 9:10] * rz
         alpha = jnp.minimum(ALPHA_MAX, g[..., 15:16] * jnp.exp(power))
+        rcut = g[..., 16:17]
+        in_circle = (dx * dx + dy * dy) <= rcut * rcut
         ok = (
             (power <= 0.0) & (alpha >= ALPHA_MIN) & gok[..., None]
-            & (zhit > NEAR_CULL)
+            & (zhit > NEAR_CULL) & in_circle
         )
         alpha = jnp.where(ok, alpha, 0.0)
 

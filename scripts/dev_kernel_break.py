@@ -134,7 +134,7 @@ def make_fwd(stage: str):
                 if stage == "pvpu":
                     C4 = C4 + alpha[:8] * 1e-30
                     return (c + 1, T_raw, C4)
-                W, T_exc, inc, T_raw = pk._transmittance(alpha, T_raw)
+                W, T_exc, inc, T_raw, _ = pk._transmittance(alpha, T_raw)
                 C4 = C4 + jax.lax.dot_general(
                     pk._color_lhs(A), W, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -162,7 +162,7 @@ def make_fwd(stage: str):
             if stage == "alpha":
                 C4 = C4 + alpha[:8] * 1e-30
                 return (c + 1, T_raw, C4)
-            W, T_exc, inc, T_raw = pk._transmittance(alpha, T_raw)
+            W, T_exc, inc, T_raw, _ = pk._transmittance(alpha, T_raw)
             if stage == "trans":
                 C4 = C4 + W[:8] * 1e-30
                 return (c + 1, T_raw, C4)
@@ -265,7 +265,7 @@ def make_fwd_hbm(stage: str):
                 AT = A.T
                 alpha = pk._alpha_matrix(A, AT, c * CHUNK - head, count,
                                          basis8, ox, oy)
-                W, T_exc, inc, T_raw = pk._transmittance(alpha, T_raw)
+                W, T_exc, inc, T_raw, _ = pk._transmittance(alpha, T_raw)
                 C4 = C4 + jax.lax.dot_general(
                     pk._color_lhs(A), W, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -371,7 +371,7 @@ def make_fwd_tpb(tpb: int, prec=None):
                 AT = A.T
                 alpha = pk._alpha_matrix(A, AT, c * CHUNK - head, count,
                                          basis8, ox, oy)
-                W, T_exc, inc, T_raw = pk._transmittance(alpha, T_raw)
+                W, T_exc, inc, T_raw, _ = pk._transmittance(alpha, T_raw)
                 C4 = C4 + jax.lax.dot_general(
                     pk._color_lhs(A), W, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,

@@ -235,8 +235,8 @@ class TestSurfelSelection:
             acr_o = acr - off[:, 0:1] * bcr - off[:, 1:2] * ccr
             xy_o = xy + off
             maps = composite_surfels(
-                acr_o, bcr, ccr, det, xy_o, color, opacity_eff, n_view,
-                bg, jnp.asarray(cam.znear, jnp.float32),
+                acr_o, bcr, ccr, det, xy_o, radius, color, opacity_eff,
+                n_view, bg, jnp.asarray(cam.znear, jnp.float32),
                 jnp.asarray(cam.zfar, jnp.float32), bins_arrays,
                 bins.tiles_x, bins.tiles_y, 32, 64, 32, "xla",
             )
