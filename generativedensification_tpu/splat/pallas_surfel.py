@@ -15,18 +15,29 @@ termination — plus the surfel-specific math:
     dist = Σ_k w_k Σ_{j<k} w_j (m_k - m_j)², m = mapped depth.
 
 Backward is hand-written front-to-back (no reverse traversal).  The
-distortion chain uses suffix moments: with totals (W, M1, M2) of
-(w, w·m, w·m²) recovered from the forward outputs,
+distortion is kept in CLOSED FORM (round 3): the pairwise sum
+telescopes to moments,
 
-  dL/dw_i += gdist · [d_i + (M2 - M2_i - w_i m_i²)
-                       + m_i² (W - A_i - w_i) - 2 m_i (M1 - M1_i - w_i m_i)]
-  dL/dm_i  = 2 gdist w_i [m_i A_i - M1_i + m_i Sw_i - Swm_i]
+  dist = Σ_{j<k} w_j w_k (m_j - m_k)² = Wtot·M2tot - M1tot²
 
-and the total contribution for the suffix trick is
+with (Wtot, M1tot, M2tot) = Σ w·(1, m, m²), so the forward needs no
+per-slot prefix ladders — only the three moment row-sums it already
+accumulates.  The per-slot gradients enjoy the same cancellation: the
+prefix/suffix self-exclusion terms of the front-to-back form cancel
+algebraically (expand d_i + S-terms and watch the ±w_i m_i² pairs
+annihilate), leaving
+
+  ∂dist/∂w_i = M2tot + m_i² Wtot - 2 m_i M1tot
+  ∂dist/∂m_i = 2 w_i (m_i Wtot - M1tot)
+
+which are pure per-slot functions of the TOTALS — the round-2 kernels'
+wm/wm² cumsum ladders and suffix-moment algebra (≈30 full-shape VPU
+passes per chunk in the backward, ≈20 in the forward) are deleted,
+bit-exactly in infinite precision and inside the parity-test tolerance
+band in f32.  The suffix-trick total keeps its factor two:
   G = gC·C + gN·N + gDexp·Dexp + 2·gdist·dist
-(the pairwise form dist = Σ_{i<k} w_i w_k (m_i - m_k)² counts each pair
-once from each side).  Median-depth cotangents flow through the crossing
-slot's z_hit exactly like the XLA autodiff path.
+because Σ_k w_k ∂dist/∂w_k = 2·dist.  Median-depth cotangents flow
+through the crossing slot's z_hit exactly like the XLA autodiff path.
 """
 
 from __future__ import annotations
@@ -194,7 +205,7 @@ def _fwd_kernel(
     zeros = jnp.zeros((1, npix), jnp.float32)
 
     def chunk_body(state):
-        c, T_raw, C8, Dexp, Dmed, m1, m2, dist = state
+        c, T_raw, C8, Dexp, Dmed, m1, m2 = state
 
         @pl.when(c + 1 < n_chunks)
         def _():
@@ -209,19 +220,16 @@ def _fwd_kernel(
             depth=True, bwd=False,
         )
 
-        # shift-ladder transmittance + prefixes: the earlier triangular-
-        # matmul form (exp(Ls @ log1p) + three Li matmuls) costs five
-        # HIGHEST-precision (CHUNK,CHUNK)@(CHUNK,NPIX) MXU passes per
-        # chunk across fwd+bwd — measured the dominant term of the 48ms
-        # bwd at 512²/131k; the ladders are ~7 VPU ops each
+        # shift-ladder transmittance: the earlier triangular-matmul form
+        # (exp(Ls @ log1p) + Li matmuls) costs HIGHEST-precision
+        # (CHUNK,CHUNK)@(CHUNK,NPIX) MXU passes per chunk — measured the
+        # dominant term of the 48ms bwd at 512²/131k; ~7 VPU ops here
         W, T_exc, inc, T_raw_new, U = _transmittance(alpha, T_raw)
 
+        # distortion needs only the moment TOTALS (closed form, see
+        # module docstring) — no per-slot prefix ladders
         wm = W * m
         wm2 = wm * m
-        m1_pref = m1 + _cumsum0(wm) - wm         # exclusive + carry
-        m2_pref = m2 + _cumsum0(wm2) - wm2
-        a_pref = 1.0 - T_exc
-        dist_add = W * (m * m * a_pref + m2_pref - 2.0 * m * m1_pref)
 
         C8 = C8 + jax.lax.dot_general(
             _acc_lhs(A, with_ones=True), W,
@@ -230,7 +238,6 @@ def _fwd_kernel(
             precision=jax.lax.Precision.HIGHEST,
         )
         Dexp = Dexp + jnp.sum(W * zhit, axis=0, keepdims=True)
-        dist = dist + jnp.sum(dist_add, axis=0, keepdims=True)
         m1 = m1 + jnp.sum(wm, axis=0, keepdims=True)
         m2 = m2 + jnp.sum(wm2, axis=0, keepdims=True)
 
@@ -241,16 +248,16 @@ def _fwd_kernel(
         any_cross = jnp.sum(crossed, axis=0, keepdims=True) > 0.0
         Dmed = jnp.where((Dmed == 0.0) & any_cross, zmed, Dmed)
 
-        return (c + 1, T_raw_new, C8, Dexp, Dmed, m1, m2, dist)
+        return (c + 1, T_raw_new, C8, Dexp, Dmed, m1, m2)
 
     def cond(state):
         c, T_raw = state[0], state[1]
         return (c < n_chunks) & (jnp.max(T_raw) >= T_EPS)
 
-    c, T_raw, C8, Dexp, Dmed, m1, m2, dist = jax.lax.while_loop(
+    c, T_raw, C8, Dexp, Dmed, m1, m2 = jax.lax.while_loop(
         cond, chunk_body,
         (0, ones, jnp.zeros((8, npix), jnp.float32),
-         zeros, zeros, zeros, zeros, zeros),
+         zeros, zeros, zeros, zeros),
     )
 
     @pl.when(c < n_chunks)
@@ -260,6 +267,7 @@ def _fwd_kernel(
     c8_out[0] = C8
     # C8 row 6 accumulated sum-W = 1 - T_eff exactly (see _acc_lhs)
     wsum = C8[6:7]
+    dist = wsum * m2 - m1 * m1           # closed form (module docstring)
     ex_out[0] = jnp.concatenate(
         [wsum, Dexp, Dmed, dist, m1, m2, 1.0 - wsum, zeros], axis=0
     )
@@ -429,7 +437,7 @@ def _bwd_kernel(
     zeros = jnp.zeros((1, npix), jnp.float32)
 
     def chunk_body(state):
-        c, T_raw, prefix, m1, m2 = state
+        c, T_raw, prefix = state
 
         @pl.when(c + 1 < n_chunks)
         def _():
@@ -462,24 +470,15 @@ def _bwd_kernel(
             # z-chain (gz) vanishes
             cw = base_cw
         else:
-            wm = W * m
-            wm2 = wm * m
-            m1_pref = m1 + _cumsum0(wm) - wm
-            m2_pref = m2 + _cumsum0(wm2) - wm2
-            a_pref = 1.0 - T_exc
-            d_i = m * m * a_pref + m2_pref - 2.0 * m * m1_pref
-
-            # suffix moments (totals minus inclusive prefixes)
-            Sw = Wtot - (a_pref + W)
-            Swm = M1tot - (m1_pref + wm)
-            Sw2 = M2tot - (m2_pref + wm2)
-
+            # closed-form distortion grads (module docstring): pure
+            # per-slot functions of the moment TOTALS — the round-2
+            # prefix/suffix ladders cancelled algebraically
             cw = base_cw + gDexp * zhit + gdist * (
-                d_i + Sw2 + m * m * Sw - 2.0 * m * Swm
+                M2tot + m * m * Wtot - 2.0 * m * M1tot
             )
 
             # dL/dm and dL/dz
-            gm = 2.0 * gdist * W * (m * a_pref - m1_pref + m * Sw - Swm)
+            gm = 2.0 * gdist * W * (m * Wtot - M1tot)
             crossed = ((T_exc > 0.5) & (U < 0.5) & (alpha > 0.0)).astype(
                 jnp.float32
             )
@@ -562,18 +561,13 @@ def _bwd_kernel(
         gbuf[pl.ds(boffg, SLAB_W2), :] = gradT.T
         dma_out(slot, c).start()
 
-        if mode != "selonly":
-            m1 = m1 + jnp.sum(wm, axis=0, keepdims=True)
-            m2 = m2 + jnp.sum(wm2, axis=0, keepdims=True)
-        return (c + 1, T_raw_new, pref[-1:], m1, m2)
+        return (c + 1, T_raw_new, pref[-1:])
 
     def cond(state):
         c, T_raw = state[0], state[1]
         return (c < n_chunks) & (jnp.max(T_raw) >= T_EPS)
 
-    c, _, _, _, _ = jax.lax.while_loop(
-        cond, chunk_body, (0, ones, zeros, zeros, zeros)
-    )
+    c, _, _ = jax.lax.while_loop(cond, chunk_body, (0, ones, zeros))
 
     @pl.when(c < n_chunks)
     def _():
