@@ -22,6 +22,16 @@ protocol's 512²/131k scene; 100 is the geometric middle and is the
 recorded anchor.  Error bar is a factor ~1.5 either way — the judge
 metric ``vs_baseline`` should be read with that bar in mind.
 
+Backward-mode honesty: the headline measures the ``noabs`` backward — no
+AbsGS |screen-gradient| consumer exists in this loss, so the kernel skips
+those two accumulation rows (exactly what the training path's fused
+selection does for its true backward).  The reference GDM kernel
+accumulates its abs channels unconditionally, but the A100 anchor above
+derives from vanilla 3DGS timings, which also lack absgrad — like is
+compared with like.  ``BENCH_ABS=1`` adds a live ``screen_abs`` consumer
+so the full 12-row backward (abs rows on) gets its own measured number;
+see BASELINE.md for both rows.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -100,7 +110,9 @@ def main():
         ),
     )
 
-    def loss_fn(means, shs, opa_raw, scale_raw, quats):
+    want_abs = os.environ.get("BENCH_ABS", "0") == "1"
+
+    def loss_fn(means, shs, opa_raw, scale_raw, quats, screen_abs=None):
         out = rasterize(
             means,
             shs,
@@ -109,6 +121,7 @@ def main():
             quats,
             cam,
             bg,
+            screen_abs=screen_abs,
             **RASTER_KW,
         )
         return jnp.mean((out.image - gt) ** 2)
@@ -141,6 +154,11 @@ def main():
         return jax.lax.fori_loop(0, N_ITERS, body, p)
 
     p0 = (means, shs, opa_raw, scale_raw, quats)
+    if want_abs:
+        # a live screen_abs consumer turns the AbsGS |grad| rows on (the
+        # full 12-row training-path backward) and its gradient joins the
+        # chain's serial dependence like every other param
+        p0 = p0 + (jnp.zeros((n, 2), jnp.float32),)
     jax.block_until_ready(chain(p0))  # warmup / compile
 
     # best of two timed chains: the axon tunnel adds a ~30ms fixed
@@ -160,6 +178,7 @@ def main():
                 "metric": (
                     f"renders/sec/chip @{H}^2 fwd+bwd, "
                     f"{N_GAUSSIANS // 1024}k gaussians"
+                    + (", abs rows on" if want_abs else "")
                 ),
                 "value": round(renders_per_sec, 3),
                 "unit": "renders/s",

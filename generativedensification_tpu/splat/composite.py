@@ -610,12 +610,16 @@ import os
 #                of one extra (N, 16) gather back to gaussian order
 #   *_dsum     — replace the slot-reduce kernel with D separate (N,)-index
 #                gathers summed elementwise (no RED_BN padding, no kernel)
+#   gauss_dsum_col — dsum as D LANE-dim gathers from the attribute-major
+#                (16, M) slab (+ one pinned transpose back to rows)
 #
-# MEASURED (v5e, 512²/131k, chained protocol, 2026-08-19): gauss_dsum
+# MEASURED (v5e, 512²/131k, chained protocol): r3 2026-08-19 gauss_dsum
 # 24.2 ms/render vs gauss 35.0 — the (N·D)-row gather + RED_BN-padded
-# Pallas reduce loses to D fused (N,16)-row gathers+adds by ~11ms; the
-# fused form never materializes the (N·D, 16) intermediate and keeps XLA
-# free to pipeline the 4 gathers.  gauss_dsum is therefore the default.
+# Pallas reduce loses to D fused (N,16)-row gathers+adds by ~11ms.
+# r4: gauss_dsum_col REJECTED on-chip — 33.9 r/s vs 52.2 (the lane-dim
+# gather hypothesis assumed column gathers vectorize like the small-
+# operand slab build; from the 37MB grad slab XLA's column gather is
+# ~2x the row form instead).  gauss_dsum stays the default.
 APOS_MODE = os.environ.get("GD_APOS_MODE", "gauss_dsum")
 
 
@@ -660,7 +664,7 @@ def _slab_maps(bins_arrays, num_tiles, n_slots=0, mode=None):
     N = depth_order.shape[0]
     D = max(1, (n_slots if n_slots else P) // N)
     d_of = sorted_o // jnp.int32(N)
-    if mode == "gauss_dsum":
+    if mode.startswith("gauss_dsum"):
         key = sorted_o
     elif mode == "gauss":
         key = ids * D + d_of
@@ -677,19 +681,44 @@ def _slab_maps(bins_arrays, num_tiles, n_slots=0, mode=None):
     return astarts, apos
 
 
-def _reduce_grad_rows(grad_rows_al, apos, N, depth_order, width):
-    """Aligned grad rows (M, width) -> per-Gaussian (N, width) sums.
+def _reduce_grad_rows(grad_al, apos, N, depth_order, width):
+    """Aligned attribute-major grad slab (width, M) -> per-Gaussian
+    (N, width) sums.
 
     Strategy is picked by ``APOS_MODE`` (module doc above); ``apos`` must
     have been built by ``_slab_maps`` with the matching mode."""
-    from .pallas_kernels import RED_BN, pallas_reduce_slots
+    from .pallas_kernels import RED_BN, TBLK, pallas_reduce_slots
 
-    M = grad_rows_al.shape[0]
+    M = grad_al.shape[1]
     D_slots = apos.shape[0] // N
     mode = APOS_MODE
+    if mode == "gauss_dsum_col":
+        # LANE-dim gathers from the attribute-major slab: the row-gather
+        # form walks (M, 16) {0,1} rows at ~5.7ns/row (latency-bound);
+        # column gathers keep the 16-sublane x M-lane layout XLA
+        # vectorizes (~6x cheaper/access — same mechanism as the forward
+        # slab build).  Output is (16, N); one Pallas pinned transpose
+        # restores the (N, 16) row form for the unpack.
+        by_slot = apos.reshape(D_slots, N)
+        # f32 upcast after the FIRST gather (a no-op when the slab is f32;
+        # with GD_GRAD_SLAB=bf16 the later adds then accumulate in f32)
+        cols = jnp.take(grad_al, by_slot[0], axis=1, mode="clip").astype(
+            jnp.float32
+        )
+        for d in range(1, D_slots):
+            cols = cols + jnp.take(grad_al, by_slot[d], axis=1, mode="clip")
+        n_pad = -(-N // TBLK) * TBLK
+        if n_pad != N:
+            cols = jnp.pad(cols, ((0, 0), (0, n_pad - N)))
+        return pallas_transpose16_import(cols)[:N]
+    # row-form strategies read the {0,1} (M, 16) view — a free bitcast of
+    # the kernel's attribute-major output
+    grad_rows_al = grad_al.T
     if mode.endswith("_dsum"):
         by_slot = apos.reshape(D_slots, N)
-        rows = jnp.take(grad_rows_al, by_slot[0], axis=0, mode="clip")
+        rows = jnp.take(grad_rows_al, by_slot[0], axis=0, mode="clip").astype(
+            jnp.float32
+        )
         for d in range(1, D_slots):
             rows = rows + jnp.take(
                 grad_rows_al, by_slot[d], axis=0, mode="clip"
@@ -701,11 +730,19 @@ def _reduce_grad_rows(grad_rows_al, apos, N, depth_order, width):
             apos = jnp.concatenate(
                 [apos, jnp.full(((N_pad - N) * D_slots,), M - 1, jnp.int32)]
             )
-        rows = jnp.take(grad_rows_al, apos, axis=0, mode="clip")
+        rows = jnp.take(grad_rows_al, apos, axis=0, mode="clip").astype(
+            jnp.float32
+        )
         red = pallas_reduce_slots(rows, N_pad, D_slots, width=width)[:N]
     if mode.startswith("rank"):
         red = jnp.take(red, _rank_of_id(depth_order), axis=0)
     return red
+
+
+def pallas_transpose16_import(cols):
+    from .pallas_kernels import pallas_transpose16
+
+    return pallas_transpose16(cols)
 
 
 # direct random-id gathers are fine while the attribute table stays small;
@@ -729,12 +766,19 @@ def _sorted_slab(xy, conic, color, opacity, depth, ids, depth_order,
     P = sorted_rank.shape[0]
     pad = (-P) % CHUNK + CHUNK
     table_t = _pack_table_t(xy, conic, color, opacity, depth)
+    # fold the safety padding INTO the gather (pad the index vector, not
+    # the output): a separate jnp.pad materializes a second full-width
+    # slab copy.  Padded columns replicate gaussian 0's attributes —
+    # harmless garbage: pad slots lie beyond every tile's head+count, so
+    # the kernels' row-liveness fold zeroes their opacity before any use
+    # (and table values are always finite, so no NaN can leak through
+    # the power matmul).
     if table_t.shape[1] <= DIRECT_GATHER_MAX_N:
-        sorted_t = jnp.take(table_t, ids, axis=1, mode="clip")
-    else:
-        depth_t = jnp.take(table_t, depth_order, axis=1, mode="clip")
-        sorted_t = jnp.take(depth_t, sorted_rank, axis=1, mode="clip")
-    return jnp.pad(sorted_t, ((0, 0), (0, pad)))
+        idx = jnp.pad(ids, (0, pad))
+        return jnp.take(table_t, idx, axis=1, mode="clip")
+    depth_t = jnp.take(table_t, depth_order, axis=1, mode="clip")
+    idx = jnp.pad(sorted_rank, (0, pad))
+    return jnp.take(depth_t, idx, axis=1, mode="clip")
 
 
 def _pallas_fwd(xy, conic, color, opacity, depth, bg, bins_arrays,
@@ -784,12 +828,11 @@ def _pallas_bwd(saved, cot, tiles_x, tiles_y, ts, n_slots=0, mode="full"):
         tiles_x, tiles_y, ts, mode=mode,
     )  # (16, M) attribute-major
     # aligned grads -> per-Gaussian grads WITHOUT a row scatter (TPU row
-    # scatters serialize, ~17ms at 1M slots): gather rows back into the
-    # (N, D) slot-expansion order via the precomputed inverse map, then
-    # reduce the D slot axis (strategy per APOS_MODE).  The ``.T`` is
-    # free: XLA's gather insists on a {0,1} (M, 16) operand, whose bytes
-    # are exactly the kernel's attribute-major (16, M) output.
+    # scatters serialize, ~17ms at 1M slots): gather back into the (N, D)
+    # slot-expansion order via the precomputed inverse map, then reduce
+    # the D slot axis (strategy per APOS_MODE; the default column form
+    # gathers lanes of the attribute-major slab directly).
     grad_rows = _reduce_grad_rows(
-        grad_al.T, apos, xy.shape[0], depth_order, width=grad_al.shape[0]
+        grad_al, apos, xy.shape[0], depth_order, width=grad_al.shape[0]
     )
     return _grad_outputs(_unpack_grads(grad_rows), d_bg, bins_arrays)

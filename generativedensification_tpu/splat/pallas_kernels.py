@@ -53,8 +53,6 @@ def _recip(x: jnp.ndarray) -> jnp.ndarray:
     reciprocal (~2^-12 rel err — fine for training, outside the default
     parity tolerances; A/B knob only, exact stays the default).
     """
-    import os
-
     if os.environ.get("GD_RECIP", "exact") == "approx" and not _interpret():
         return pl.reciprocal(x, approx=True)
     return 1.0 / x
@@ -68,14 +66,30 @@ SLAB_W = 16
 # Precision of the in-kernel MXU matmuls (power quadratic form, color /
 # contrib accumulation).  HIGHEST = 6 bf16 passes (exact f32), HIGH = 3
 # passes (~2^-21 relative).  Trace-time knob for on-chip A/Bs.
-import os as _os_
+import os
 
 _MM_PRECS = {
     "highest": jax.lax.Precision.HIGHEST,
     "high": jax.lax.Precision.HIGH,
     "default": jax.lax.Precision.DEFAULT,
 }
-MM_PRECISION = _MM_PRECS[_os_.environ.get("GD_MM_PREC", "highest")]
+_mm_prec_name = os.environ.get("GD_MM_PREC", "highest")
+if _mm_prec_name not in _MM_PRECS:
+    raise ValueError(
+        f"GD_MM_PREC={_mm_prec_name!r}: expected one of {sorted(_MM_PRECS)}"
+    )
+MM_PRECISION = _MM_PRECS[_mm_prec_name]
+
+# Grad-slab storage dtype (A/B knob, VERDICT r3 weak #7).  The dsum
+# gathers that consume the slab are latency/byte-bound (bf16 measured
+# 2.2x faster per access in isolation); bf16 quantizes each per-slot
+# gradient contribution to 8 mantissa bits BEFORE the D-slot sum, which
+# is outside the default backend-parity tolerances — measurement knob
+# only, f32 stays the default.
+_grad_slab = os.environ.get("GD_GRAD_SLAB", "f32")
+if _grad_slab not in ("f32", "bf16"):
+    raise ValueError(f"GD_GRAD_SLAB={_grad_slab!r}: expected f32 or bf16")
+GRAD_SLAB_DTYPE = jnp.bfloat16 if _grad_slab == "bf16" else jnp.float32
 CHUNK = 128   # slots per DMA chunk; also the lane-alignment quantum
 NPIX = 1024   # 32x32 tile (the surfel kernels' fixed tile; the 3DGS
               # kernels below are parametric over ts in {16, 32} — 16px
@@ -209,8 +223,6 @@ def _mm(L, x):
     )
 
 
-import os as _os
-
 # rows per block of the two-level inclusive scans (0 = flat ladder).
 # HYPOTHESIS TESTED AND REJECTED (v5e, 512²/131k, 2026-08-19): a
 # two-level block scan "should" cut the flat 7-step Hillis-Steele
@@ -219,7 +231,7 @@ import os as _os
 # moves 2x its logical bytes).  Mosaic evidently folds the ladder's
 # shift+op pairs well enough that the extra reshape/boundary traffic
 # only adds cost.  Flat stays the default; the knob remains for re-A/Bs.
-SCAN_BLOCK = int(_os.environ.get("GD_SCAN_BLOCK", "0"))
+SCAN_BLOCK = int(os.environ.get("GD_SCAN_BLOCK", "0"))
 
 
 def _scan0_blocked(x, op, ident, block):
@@ -442,7 +454,7 @@ def _transpose_cols_kernel(cols_ref, rows_ref):
     # exact transpose via identity matmul (HIGHEST = true f32 passes; the
     # default bf16 pass loses ~8 bits)
     rows_ref[:, :] = jax.lax.dot_general(
-        cols_ref[:, :], jnp.eye(SLAB_W, dtype=jnp.float32),
+        cols_ref[:, :], jnp.eye(cols_ref.shape[0], dtype=jnp.float32),
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
@@ -450,21 +462,22 @@ def _transpose_cols_kernel(cols_ref, rows_ref):
 
 
 def pallas_transpose16(cols):
-    """(SLAB_W, M) -> (M, SLAB_W) with a *pinned* row-major output layout.
+    """(w, M) -> (M, w) with a *pinned* row-major output layout (w is the
+    slab width: 16 for the 3DGS slab, 32 for the surfel slab).
 
-    Used between the bwd kernel's attribute-major grad slab and the
-    row-gather that inverts the binning sort: a plain ``.T`` lets XLA sink
-    the transposed layout into whichever gather/scatter sits next to it
-    (strided access, ~5-7ms at 1M slots); a Pallas boundary forces default
-    layouts on both sides and costs ~0.7ms of pure bandwidth."""
-    M = cols.shape[1]
+    Used wherever an attribute-major Pallas product meets a row-form
+    consumer: a plain ``.T`` lets XLA sink the transposed layout into
+    whichever gather/scatter sits next to it (strided access, ~5-7ms at
+    1M slots); a Pallas boundary forces default layouts on both sides and
+    costs ~0.7ms of pure bandwidth at 1M rows."""
+    w, M = cols.shape
     assert M % TBLK == 0, M
     return pl.pallas_call(
         _transpose_cols_kernel,
-        out_shape=jax.ShapeDtypeStruct((M, SLAB_W), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((M, w), jnp.float32),
         grid=(M // TBLK,),
-        in_specs=[pl.BlockSpec((SLAB_W, TBLK), lambda i: (0, i))],
-        out_specs=pl.BlockSpec((TBLK, SLAB_W), lambda i: (i, 0)),
+        in_specs=[pl.BlockSpec((w, TBLK), lambda i: (0, i))],
+        out_specs=pl.BlockSpec((TBLK, w), lambda i: (i, 0)),
         interpret=_interpret(),
     )(cols)
 
@@ -695,7 +708,7 @@ def _bwd_kernel(
             dma_out(slot, c - 2).wait()
 
         boffg = pl.multiple_of(slot * SLAB_W, SLAB_W)
-        gbuf[pl.ds(boffg, rw), :] = gradT.T[:rw]
+        gbuf[pl.ds(boffg, rw), :] = gradT.T[:rw].astype(GRAD_SLAB_DTYPE)
         dma_out(slot, c).start()
         return (c + 1, T_raw, prefix)
 
@@ -739,7 +752,7 @@ def pallas_composite_bwd(
     npix = tile_size * tile_size
     num_tiles = tiles_x * tiles_y
     slab_t = slab  # (SLAB_W, P_pad) attribute-major sorted-order table
-    zeros_grad = jnp.zeros((SLAB_W, m_out), jnp.float32)
+    zeros_grad = jnp.zeros((SLAB_W, m_out), GRAD_SLAB_DTYPE)
 
     gc4 = jnp.concatenate(
         [
@@ -764,7 +777,7 @@ def pallas_composite_bwd(
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
             pltpu.VMEM((2 * SLAB_W, CHUNK), jnp.float32),
-            pltpu.VMEM((2 * SLAB_W, CHUNK), jnp.float32),
+            pltpu.VMEM((2 * SLAB_W, CHUNK), GRAD_SLAB_DTYPE),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -774,7 +787,7 @@ def pallas_composite_bwd(
     )
     grad_t = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((SLAB_W, m_out), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((SLAB_W, m_out), GRAD_SLAB_DTYPE),
         grid_spec=grid_spec,
         input_output_aliases={6: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),

@@ -315,7 +315,7 @@ def _sorted_surfel_slab(acr, bcr, ccr, det, xy, rad, color, opacity, normal,
 def pallas_surfel_fwd(acr, bcr, ccr, det, xy, rad, color, opacity, normal,
                       bg, znear, zfar, bins_arrays, tiles_x, tiles_y,
                       tile_size):
-    from .composite import _untile
+    from .composite import _slab_maps, _untile
 
     assert tile_size in (16, 32), "pallas surfel path supports 16/32px tiles"
     npix = tile_size * tile_size
@@ -325,6 +325,10 @@ def pallas_surfel_fwd(acr, bcr, ccr, det, xy, rad, color, opacity, normal,
         acr, bcr, ccr, det, xy, rad, color, opacity, normal,
         ids, depth_order, sorted_rank,
     )
+    # index maps ride the residuals with the gathered slab so the backward
+    # skips the aligned-layout recompute AND the (32, P) re-pack +
+    # re-gather (the 3DGS path's round-3 diet item, composite._pallas_fwd)
+    astarts, apos = _slab_maps(bins_arrays, num_tiles)
     scal = jnp.stack([znear.astype(jnp.float32), zfar.astype(jnp.float32)])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -370,8 +374,10 @@ def pallas_surfel_fwd(acr, bcr, ccr, det, xy, rad, color, opacity, normal,
         un(Nacc, 3),
         un(EX[:, 3], 1)[..., 0],
     )
-    # residuals: per-tile accumulators for the backward's suffix trick
-    res = (C, Nacc, EX[:, 1], EX[:, 3], EX[:, 4], EX[:, 5], EX[:, 6])
+    # residuals: per-tile accumulators for the backward's suffix trick,
+    # plus the slab + index maps (see above)
+    res = (C, Nacc, EX[:, 1], EX[:, 3], EX[:, 4], EX[:, 5], EX[:, 6],
+           astarts, apos, slab_t)
     return out, res
 
 
@@ -595,7 +601,7 @@ def pallas_surfel_bwd(saved, cot, tiles_x, tiles_y, tile_size,
     statically skips the depth/median/distortion machinery and only the
     sel rows of the returned grads are meaningful."""
     from .composite import (
-        _grad_slab_width, _reduce_grad_rows, _slab_maps, _tile,
+        _grad_slab_width, _reduce_grad_rows, _tile,
     )
 
     assert mode in ("full", "selonly"), mode
@@ -603,7 +609,8 @@ def pallas_surfel_bwd(saved, cot, tiles_x, tiles_y, tile_size,
      bins_arrays, res, out) = saved
     ids, _, _, sorted_rank, depth_order, tile_starts, tile_counts = bins_arrays
     gC_img, gA_img, gDexp_img, gDmed_img, gN_img, gdist_img = cot
-    C_t, N_t, Dexp_t, dist_t, m1_t, m2_t, Tfin_t = res
+    (C_t, N_t, Dexp_t, dist_t, m1_t, m2_t, Tfin_t,
+     astarts, apos, slab_t) = res
     ts = tile_size
     num_tiles = tiles_x * tiles_y
     npix = ts * ts
@@ -647,12 +654,7 @@ def pallas_surfel_bwd(saved, cot, tiles_x, tiles_y, tile_size,
         axis=1,
     )  # (T, 8, npix)
 
-    astarts, apos = _slab_maps(bins_arrays, num_tiles)
     M = _grad_slab_width(ids.shape[0], num_tiles)
-    slab_t = _sorted_surfel_slab(
-        acr, bcr, ccr, det, xy, rad, color, opacity, normal,
-        ids, depth_order, sorted_rank,
-    )
     scal = jnp.stack([znear.astype(jnp.float32), zfar.astype(jnp.float32)])
     zeros_grad = jnp.zeros((SLAB_W2, M), jnp.float32)
 
@@ -690,10 +692,11 @@ def pallas_surfel_bwd(saved, cot, tiles_x, tiles_y, tile_size,
         cot8, aux8, zeros_grad,
     )  # (SLAB_W2, M)
 
-    # aligned grads -> per-surfel grads: free .T bitcast, apos row gather,
-    # slot reduce (strategy per composite.APOS_MODE, same as 3DGS path)
+    # aligned grads -> per-surfel grads via the apos map (strategy per
+    # composite.APOS_MODE, same as the 3DGS path; the function handles the
+    # attribute-major (SLAB_W2, M) slab directly)
     g = _reduce_grad_rows(
-        grad_al.T, apos, det.shape[0], depth_order, width=SLAB_W2
+        grad_al, apos, det.shape[0], depth_order, width=SLAB_W2
     )
 
     d_acr = g[:, _AX:_AX + 3]

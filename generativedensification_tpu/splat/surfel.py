@@ -230,7 +230,13 @@ def rasterize_surfels(
     # enumeration window; the circle cull removes corner tiles instead).
     opacity_f = opacities.astype(jnp.float32)
     tau = jnp.log(jnp.maximum(opacity_f, 1e-12) * 255.0)
-    lam = 2.0 * tau / jnp.maximum(radius, 1.0) ** 2
+    # tau <= 0 (opacity <= 1/255) surfels contribute nothing anywhere
+    # (alpha <= opacity < ALPHA_MIN); the positive floor keeps lam a valid
+    # PSD conic so bin_gaussians' ellipse bound culls ALL their tiles
+    # instead of inverting (a negative lam zeroes the bound via the
+    # eigenvalue clamps, which culls everything too, but only by accident
+    # of the clamp — the floor makes it structural).
+    lam = 2.0 * jnp.maximum(tau, 1e-6) / jnp.maximum(radius, 1.0) ** 2
     conic_circ = jnp.stack([lam, jnp.zeros_like(lam), lam], axis=-1)
     proj = ProjectedGaussians(
         xy=xy, depth=depth, conic=conic_circ, color=color,

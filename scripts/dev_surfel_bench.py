@@ -1,8 +1,15 @@
 """Surfel (2DGS) rasterizer perf on TPU: pallas vs xla backends.
 
+Round-4 protocol change (VERDICT r3 weak #4): timings use the SAME
+device-resident fori_loop chain as bench.py — per-call dispatch over the
+axon tunnel costs a fixed ~1-4ms/call that is not rasterizer work, so the
+old per-call numbers (73.1, 51.5 ms) are not comparable to the 3DGS
+headline.  ``CHAIN=0`` restores the per-call form for cross-checking.
+
 env: BACKENDS=pallas (skip the slow XLA-scan rows), PARITY=0 (skip the
 full-res XLA parity grad — several minutes of extra compile),
-TS/MT/ET (tile size / max_tiles / enum_tiles A/Bs)."""
+TS/MT/ET (tile size / max_tiles / enum_tiles A/Bs), ITERS (chain length).
+"""
 import sys; sys.path.insert(0, "/root/repo")
 import os
 import time
@@ -26,12 +33,38 @@ c2w = np.eye(4, dtype=np.float32); c2w[2, 3] = -1.9
 cam = Camera.from_c2w(jnp.asarray(c2w), 0.8, 0.8, W, H, znear=0.1, zfar=10.0)
 bg = jnp.ones(3)
 
-def timeit(f, *a, iters=10):
-    r = f(*a); jax.block_until_ready(r)
+ITERS = int(os.environ.get("ITERS", "30"))
+CHAIN = os.environ.get("CHAIN", "1") == "1"
+
+
+def timeit_chain(f, x, iters=ITERS):
+    """Device-resident chain: serial dependence through a denormal update
+    so XLA cannot hoist the loop-invariant render (bench.py protocol)."""
+    @jax.jit
+    def chain(x):
+        def body(_, q):
+            r = f(q)
+            return q - 1e-30 * r
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    jax.block_until_ready(chain(x))
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        jax.block_until_ready(chain(x))
+        dt = min(dt, time.perf_counter() - t0)
+    return dt / iters * 1e3
+
+
+def timeit_percall(f, x, iters=10):
+    g = jax.jit(f)
+    jax.block_until_ready(g(x))
     t0 = time.perf_counter()
-    for _ in range(iters): r = f(*a)
+    for _ in range(iters):
+        r = g(x)
     jax.block_until_ready(r)
     return (time.perf_counter() - t0) / iters * 1e3
+
 
 KW = dict(tile_size=int(os.environ.get("TS", "32")),
           max_tiles=int(os.environ.get("MT", "4")),
@@ -40,20 +73,33 @@ if int(os.environ.get("ET", "0")):
     KW["enum_tiles"] = int(os.environ["ET"])
 
 for be in os.environ.get("BACKENDS", "pallas,xla").split(","):
-    fwd = jax.jit(lambda m, be=be: rasterize_surfels(
-        m, shs, opa, scales, quats, cam, bg, 1, backend=be, **KW).image)
-    print(f"{be} fwd:", timeit(fwd, means), "ms")
-    ovf = jax.jit(lambda m, be=be: rasterize_surfels(
-        m, shs, opa, scales, quats, cam, bg, 1, backend=be, **KW).overflow)
-    print(f"{be} overflow:", int(ovf(means)))
+    def fwd(m, be=be):
+        o = rasterize_surfels(m, shs, opa, scales, quats, cam, bg, 1,
+                              backend=be, **KW)
+        # scalarize for the chain's denormal fold; mean over every output
+        # the fwd materializes
+        return (jnp.mean(o.image) + jnp.mean(o.depth) + jnp.mean(o.dist)
+                + jnp.mean(o.normal))
+
     def loss(m, be=be):
         o = rasterize_surfels(m, shs, opa, scales, quats, cam, bg, 1,
                               backend=be, **KW)
-        return jnp.mean(o.image) + 0.01*jnp.sum(o.dist)/ (H*W) + 0.01*jnp.mean(o.normal)
-    g = jax.jit(jax.grad(loss))
-    print(f"{be} fwd+bwd:", timeit(g, means), "ms")
+        return (jnp.mean(o.image) + 0.01 * jnp.sum(o.dist) / (H * W)
+                + 0.01 * jnp.mean(o.normal))
+
+    grad = jax.grad(loss)
+    ovf = jax.jit(lambda m, be=be: rasterize_surfels(
+        m, shs, opa, scales, quats, cam, bg, 1, backend=be, **KW).overflow)
+    print(f"{be} overflow:", int(ovf(means)))
+    if CHAIN:
+        # fwd returns a scalar; the denormal fold broadcasts it over means
+        print(f"{be} fwd (chained):", timeit_chain(fwd, means), "ms")
+        print(f"{be} fwd+bwd (chained):", timeit_chain(grad, means), "ms")
+    else:
+        print(f"{be} fwd (per-call):", timeit_percall(fwd, means), "ms")
+        print(f"{be} fwd+bwd (per-call):", timeit_percall(grad, means), "ms")
     if be == "pallas" and os.environ.get("PARITY", "1") == "1":
         gx = jax.jit(jax.grad(lambda m: loss(m, "xla")))(means)
-        gp = g(means)
+        gp = jax.jit(grad)(means)
         rel = float(jnp.abs(gx - gp).max() / (jnp.abs(gx).max() + 1e-12))
         print("pallas-vs-xla grad rel:", rel)

@@ -61,3 +61,15 @@ for _ in range(iters):
 jax.block_until_ready(state.params)
 dt = (time.time() - t0) / iters
 print(f"train step: {dt*1e3:.1f} ms  ({B} samples, {H}x{W}, steps/s {1/dt:.2f})")
+# the reference-scale contract row (VERDICT r4 ask #2): renders/s/chip
+# (coarse + fine both rasterize ALL V_total supervision views per sample
+# per step, like the reference's renderer calls), samples/s, overflow,
+# peak HBM
+V_TOTAL = 8  # _make_batch(V_total=8)
+renders = B * V_TOTAL * 2
+mem = jax.devices()[0].memory_stats() or {}
+print(
+    f"samples/s/chip: {B/dt:.3f}  renders/s/chip: {renders/dt:.2f}  "
+    f"overflow: {float(stats.get('overflow', float('nan')))}  "
+    f"peak_hbm_gb: {mem.get('peak_bytes_in_use', 0)/2**30:.2f}"
+)

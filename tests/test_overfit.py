@@ -112,7 +112,10 @@ def test_overfit_single_scene_2dgs():
 
     first_fine = None
     stats = {}
-    for i in range(60):
+    # 25 steps (was 60): the movement assert needs ~1/4 of the measured
+    # 16.8 -> 23.1 trajectory, and the r3 budget review requires the slow
+    # suite's worst file to fit a bounded CI chunk (pytest.ini)
+    for i in range(25):
         state, stats = step(state, batch)
         if i == 4:
             first_fine = float(stats["psnr_fine"])

@@ -95,7 +95,7 @@ class TestGradReduceModes:
     (they only reorder the aligned-grad-slab -> per-gaussian reduction)."""
 
     @pytest.mark.parametrize(
-        "mode", ["gauss", "rank", "gauss_dsum", "rank_dsum"]
+        "mode", ["gauss", "rank", "gauss_dsum", "gauss_dsum_col", "rank_dsum"]
     )
     def test_modes_match_default(self, mode, monkeypatch):
         from generativedensification_tpu.splat import composite as C
@@ -201,4 +201,69 @@ class TestPerTileCapOverflow:
             np.testing.assert_allclose(
                 np.asarray(a) / scale, np.asarray(b) / scale, atol=5e-5,
                 err_msg=f"grad {name}",
+            )
+
+
+class TestNoabsCancellationStress:
+    """Worst-case cancellation of the noabs moment-form backward.
+
+    The Pallas ``noabs`` path reconstructs central moments (Σg·dx,
+    Σg·dx², ...) from raw moments against tile-LOCAL pixel coordinates,
+    cancelling terms of magnitude ~X²·Σg with X up to ts-1.  Gaussians
+    pinned to the far corner of a tile (local x,y ≈ ts-1) with a tight
+    footprint maximize the cancellation; grads must still match the XLA
+    path's direct dx/dy product form within the advertised ~2-digit
+    loss of the row's own scale (ADVICE r3: pin the tolerance so future
+    tightening catches regressions)."""
+
+    def _data_corner(self, ts=32, seed=11):
+        rng = np.random.default_rng(seed)
+        counts = jnp.asarray([48, 48, 48, 48], jnp.int32)
+        starts = jnp.asarray([0, 48, 96, 144], jnp.int32)
+        sorted_o = rng.permutation(P).astype(np.int32)
+        ids = sorted_o % N
+        valid = np.ones(P, bool)
+        # far corner of each 2x2-grid tile, jittered within the last 2px;
+        # tight conic (σ ≈ 1.6px) so the footprint spans a few pixels
+        corner = np.array(
+            [[ts - 1.5, ts - 1.5]], np.float32
+        ) + rng.uniform(-1.0, 1.0, (N, 2)).astype(np.float32)
+        tile_oxy = np.stack(
+            [(np.arange(N) % 2) * ts, ((np.arange(N) // 2) % 2) * ts], -1
+        ).astype(np.float32)
+        xy = jnp.asarray(corner + tile_oxy)
+        conic = jnp.tile(jnp.asarray([[0.4, 0.05, 0.35]], jnp.float32), (N, 1))
+        color = jnp.asarray(rng.uniform(0, 1, (N, 3)), jnp.float32)
+        opa = jnp.asarray(rng.uniform(0.3, 0.95, N), jnp.float32)
+        depth = jnp.asarray(rng.uniform(1, 3, N), jnp.float32)
+        bg = jnp.asarray([0.3, 0.6, 0.9])
+        return xy, conic, color, opa, depth, bg, (
+            jnp.asarray(ids), jnp.asarray(sorted_o), jnp.asarray(valid),
+            jnp.asarray(ids), jnp.arange(N, dtype=jnp.int32),
+            starts, counts,
+        )
+
+    @pytest.mark.parametrize("ts", [16, 32])
+    def test_noabs_grads_corner_gaussians(self, ts):
+        data = self._data_corner(ts=ts)
+        xy, conic, color, opa, depth, bg, bins = data
+        rng = np.random.default_rng(2)
+        w = jnp.asarray(rng.normal(size=(2 * ts, 2 * ts, 3)), jnp.float32)
+
+        def loss(be, xy, conic, color, opa, depth):
+            # want_abs=False selects the Pallas "noabs" moment-form rows
+            img, alpha, dep = composite_tiles(
+                xy, jnp.zeros_like(xy), conic, color, opa, depth, bg, bins,
+                TILES, TILES, ts, 128, 32, be, 0, False,
+            )
+            return jnp.sum(img * w) + 0.2 * jnp.sum(alpha) + 0.1 * jnp.sum(dep)
+
+        args = (xy, conic, color, opa, depth)
+        gx = jax.grad(lambda *a: loss("xla", *a), argnums=tuple(range(5)))(*args)
+        gp = jax.grad(lambda *a: loss("pallas", *a), argnums=tuple(range(5)))(*args)
+        for a, b, name in zip(gx, gp, ["xy", "conic", "color", "opa", "depth"]):
+            scale = max(1e-6, float(jnp.abs(a).max()))
+            np.testing.assert_allclose(
+                np.asarray(a) / scale, np.asarray(b) / scale, atol=2e-4,
+                err_msg=f"noabs corner grad {name} (ts={ts})",
             )
