@@ -673,7 +673,8 @@ def _slab_maps(bins_arrays, num_tiles, n_slots=0, mode=None):
     else:  # rank
         key = jnp.take(_rank_of_id(depth_order), ids) * D + d_of
     if n_slots in (0, P) and os.environ.get("GD_APOS_INV", "sort") == "sort":
-        apos = jax.lax.sort_key_val(key, pos)[1]
+        # unstable: the key is a permutation (strictly unique)
+        apos = jax.lax.sort_key_val(key, pos, is_stable=False)[1]
     else:
         M = _grad_slab_width(P, num_tiles)
         size = n_slots if n_slots not in (0, P) else P
@@ -681,17 +682,35 @@ def _slab_maps(bins_arrays, num_tiles, n_slots=0, mode=None):
     return astarts, apos
 
 
-def _reduce_grad_rows(grad_al, apos, N, depth_order, width):
+# live grad-slab rows per backward mode (see pallas_kernels._bwd_kernel's
+# gradT assembly): the dsum gathers slice the slab to these rows BEFORE
+# gathering — the kernel always writes 16 rows (Mosaic's 8-row HBM slice
+# granularity), but gathering the dead ones is pure wasted access traffic
+# (6/16 of the dsum cost in noabs, 14/16 in selonly)
+_MODE_ROWS = {"full": (0, 12), "noabs": (0, 10), "selonly": (10, 12)}
+
+
+def _reduce_grad_rows(grad_al, apos, N, depth_order, width, rows=None):
     """Aligned attribute-major grad slab (width, M) -> per-Gaussian
     (N, width) sums.
 
     Strategy is picked by ``APOS_MODE`` (module doc above); ``apos`` must
-    have been built by ``_slab_maps`` with the matching mode."""
+    have been built by ``_slab_maps`` with the matching mode.  ``rows``
+    restricts the reduction to the slab rows the mode actually writes;
+    the returned (N, width) rows are zero outside that range."""
     from .pallas_kernels import RED_BN, TBLK, pallas_reduce_slots
 
     M = grad_al.shape[1]
     D_slots = apos.shape[0] // N
     mode = APOS_MODE
+    r0, r1 = (0, width) if rows is None else rows
+    if mode.endswith("_dsum") and (r0, r1) != (0, width):
+        # row slice of the attribute-major (width, M) slab is a contiguous
+        # physical prefix/window — fuses into the gather as a view
+        red = _reduce_grad_rows(
+            grad_al[r0:r1], apos, N, depth_order, width=r1 - r0
+        )
+        return jnp.pad(red, ((0, 0), (r0, width - r1)))
     if mode == "gauss_dsum_col":
         # LANE-dim gathers from the attribute-major slab: the row-gather
         # form walks (M, 16) {0,1} rows at ~5.7ns/row (latency-bound);
@@ -833,6 +852,7 @@ def _pallas_bwd(saved, cot, tiles_x, tiles_y, ts, n_slots=0, mode="full"):
     # the D slot axis (strategy per APOS_MODE; the default column form
     # gathers lanes of the attribute-major slab directly).
     grad_rows = _reduce_grad_rows(
-        grad_al, apos, xy.shape[0], depth_order, width=grad_al.shape[0]
+        grad_al, apos, xy.shape[0], depth_order, width=grad_al.shape[0],
+        rows=_MODE_ROWS.get(mode, (0, grad_al.shape[0])),
     )
     return _grad_outputs(_unpack_grads(grad_rows), d_bg, bins_arrays)
