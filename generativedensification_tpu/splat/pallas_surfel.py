@@ -441,6 +441,10 @@ def _bwd_kernel(
 
     ones = jnp.ones((1, npix), jnp.float32)
     zeros = jnp.zeros((1, npix), jnp.float32)
+    # global pixel coords for the moment rows: loop-invariant — hoisted
+    # out of the chunk body (2 full-shape adds per chunk otherwise)
+    Xg = Xl + ox
+    Yg = Yl + oy
 
     def chunk_body(state):
         c, T_raw, prefix = state
@@ -536,8 +540,6 @@ def _bwd_kernel(
                 axis=1,
             )
         else:
-            Xg = Xl + ox
-            Yg = Yl + oy
             gradT = jnp.concatenate(
                 [
                     rsum(d_crx), rsum(d_cry), rsum(d_crz),
@@ -694,9 +696,13 @@ def pallas_surfel_bwd(saved, cot, tiles_x, tiles_y, tile_size,
 
     # aligned grads -> per-surfel grads via the apos map (strategy per
     # composite.APOS_MODE, same as the 3DGS path; the function handles the
-    # attribute-major (SLAB_W2, M) slab directly)
+    # attribute-major (SLAB_W2, M) slab directly).  ``rows`` slices the
+    # gathers to the rows the mode writes (full: the 19 attribute grads;
+    # selonly: the two |d/dscreen| rows) — the dead rows are pure wasted
+    # gather traffic (composite._MODE_ROWS rationale).
+    rows = (0, N_ATTR) if mode == "full" else (N_ATTR, N_ATTR + 2)
     g = _reduce_grad_rows(
-        grad_al, apos, det.shape[0], depth_order, width=SLAB_W2
+        grad_al, apos, det.shape[0], depth_order, width=SLAB_W2, rows=rows,
     )
 
     d_acr = g[:, _AX:_AX + 3]

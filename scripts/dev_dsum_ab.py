@@ -101,8 +101,43 @@ def row_bf16(x, apos):
     return row(x, apos).astype(jnp.float32)
 
 
+def rowv(x, apos):
+    """Row gathers from the TRANSPOSE VIEW of the packed attribute-major
+    (16, M) slab — this is what the real backward does (the (M, 16)
+    row-major array the plain ``row`` variant gathers from is physically
+    128-lane PADDED on TPU, 512B/row for 64B useful; the in-graph form
+    reads strided columns of the packed slab instead)."""
+    return row(x.T, apos)
+
+
+def rowv10(x, apos):
+    """rowv from the 10-row live slice (the noabs _MODE_ROWS form)."""
+    return row(x[:10].T, apos)
+
+
+def rowv_dead(x, apos):
+    """All indices at the dead sentinel M-1: measures what the ~50% dead
+    slots of the real apos cost (one repeated row address)."""
+    return row(x.T, jnp.full_like(apos, M - 1))
+
+
+def rowv_live(x, apos):
+    """All indices live/random: the other bound for the dead-slot cost."""
+    live_idx = jnp.where(apos == M - 1, (apos * 7919) % 320000, apos)
+    return row(x.T, live_idx)
+
+
+def rowv_bf16(x, apos):
+    return row(x.T, apos).astype(jnp.float32)
+
+
 timeit("row", row, grad_rows, apos)
 timeit("row1", row1, grad_rows, apos)
 timeit("col", col, grad_cols, apos)
 timeit("col_t", col_t, grad_cols, apos)
 timeit("row_bf16", row_bf16, grad_rows.astype(jnp.bfloat16), apos)
+timeit("rowv", rowv, grad_cols, apos)
+timeit("rowv10", rowv10, grad_cols, apos)
+timeit("rowv_dead", rowv_dead, grad_cols, apos)
+timeit("rowv_live", rowv_live, grad_cols, apos)
+timeit("rowv_bf16", rowv_bf16, grad_cols.astype(jnp.bfloat16), apos)

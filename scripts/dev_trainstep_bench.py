@@ -47,7 +47,7 @@ from generativedensification_tpu.utils.platform import jit_init
 params = jit_init(net, batch, with_fine=True)
 print(f"init: {time.time()-t0:.1f}s; params:",
       sum(x.size for x in jax.tree.leaves(params)) / 1e6, "M")
-tx, _ = make_optimizer(params, accumulate=1)
+tx, _ = make_optimizer(params, accumulate=int(os.environ.get("ACCUM", 1)))
 state = create_train_state(params, tx)
 step = make_train_step(net, tx, with_fine=True, donate=False)
 t0 = time.time()
