@@ -64,13 +64,16 @@ T_EPS = 1e-4
 SLAB_W = 16
 
 # Precision of the in-kernel MXU matmuls (power quadratic form, color /
-# contrib accumulation).  HIGHEST = 6 bf16 passes (exact f32), HIGH = 3
-# passes (~2^-21 relative).  Trace-time knob for on-chip A/Bs.
+# contrib accumulation).  HIGHEST = 6 bf16 passes (exact f32); DEFAULT =
+# 1 pass (REJECTED for correctness: the power matmul cancels
+# ~480-magnitude terms to <=11, PERF.md).  Precision.HIGH (3 passes)
+# is NOT offered: Mosaic's dot lowering rejects it on real TPU
+# (NotImplementedError, measured r4) — the 6-vs-3-pass A/B cannot be
+# run through this kernel API.  Trace-time knob for on-chip A/Bs.
 import os
 
 _MM_PRECS = {
     "highest": jax.lax.Precision.HIGHEST,
-    "high": jax.lax.Precision.HIGH,
     "default": jax.lax.Precision.DEFAULT,
 }
 _mm_prec_name = os.environ.get("GD_MM_PREC", "highest")

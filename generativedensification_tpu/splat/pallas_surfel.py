@@ -304,12 +304,16 @@ def _sorted_surfel_slab(acr, bcr, ccr, det, xy, rad, color, opacity, normal,
     table_t = _pack_surfel_table_t(
         acr, bcr, ccr, det, xy, rad, color, opacity, normal
     )
+    # safety padding folded INTO the gather (pad the index vector, not
+    # the output) — the separate jnp.pad materialized a second full-width
+    # copy of the (32, P) slab (the 3DGS _sorted_slab rationale; pad
+    # columns replicate surfel 0, zeroed by the kernels' liveness fold)
     if table_t.shape[1] <= DIRECT_GATHER_MAX_N:
-        sorted_t = jnp.take(table_t, ids, axis=1, mode="clip")
-    else:
-        depth_t = jnp.take(table_t, depth_order, axis=1, mode="clip")
-        sorted_t = jnp.take(depth_t, sorted_rank, axis=1, mode="clip")
-    return jnp.pad(sorted_t, ((0, 0), (0, pad)))
+        idx = jnp.pad(ids, (0, pad))
+        return jnp.take(table_t, idx, axis=1, mode="clip")
+    depth_t = jnp.take(table_t, depth_order, axis=1, mode="clip")
+    idx = jnp.pad(sorted_rank, (0, pad))
+    return jnp.take(depth_t, idx, axis=1, mode="clip")
 
 
 def pallas_surfel_fwd(acr, bcr, ccr, det, xy, rad, color, opacity, normal,

@@ -66,13 +66,23 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, data_range: float = 1.0) -> jnp.n
 
 
 def _downsample2(x: jnp.ndarray) -> jnp.ndarray:
-    """avg_pool 2x2 stride 2, zero-padded to even (pytorch_msssim)."""
+    """avg_pool 2x2 stride 2, zero-padded to even (pytorch_msssim).
+
+    Strided-slice form, NOT reshape(B, H/2, 2, W/2, 2, C).mean((2, 4)):
+    the reshape's BACKWARD broadcasts through the 6-D shape with a
+    size-2 minor dim that TPU lane-pads 64x — a 4.5GB HLO temp at the
+    reference batch (B=3, 512x4V views), the allocation that OOM'd the
+    B=3 train step (r4).  The slice form is the same 4-term average (f32
+    association differs by ≤1 ulp) and its backward is four dense
+    strided pads."""
     B, H, W, C = x.shape
     ph, pw = H % 2, W % 2
     if ph or pw:
         x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
-    x = x.reshape(B, (H + ph) // 2, 2, (W + pw) // 2, 2, C)
-    return x.mean(axis=(2, 4))
+    return 0.25 * (
+        x[:, 0::2, 0::2] + x[:, 0::2, 1::2]
+        + x[:, 1::2, 0::2] + x[:, 1::2, 1::2]
+    )
 
 
 def ms_ssim(

@@ -49,7 +49,11 @@ print(f"init: {time.time()-t0:.1f}s; params:",
       sum(x.size for x in jax.tree.leaves(params)) / 1e6, "M")
 tx, _ = make_optimizer(params, accumulate=int(os.environ.get("ACCUM", 1)))
 state = create_train_state(params, tx)
-step = make_train_step(net, tx, with_fine=True, donate=False)
+# donate like the real training loop: the state is threaded through the
+# python loop and never reused, and donation reclaims ~1.6GB of param +
+# optimizer buffers at runtime (B=3 OOM'd without it, r4)
+step = make_train_step(net, tx, with_fine=True,
+                       donate=os.environ.get("DONATE", "1") == "1")
 t0 = time.time()
 state, stats = step(state, batch)
 jax.block_until_ready(state.params)
