@@ -67,6 +67,30 @@ class TestSSIM:
     def test_psnr(self):
         assert float(psnr(jnp.asarray(0.01))) == pytest.approx(20.0, abs=1e-4)
 
+    def test_downsample2_matches_reshape_mean(self):
+        # _downsample2 was rewritten from reshape(B,H/2,2,W/2,2,C).mean
+        # to strided slices (the reshape's BACKWARD lane-pads a size-2
+        # minor dim 64x — a 4.5GB temp at the reference batch, r4).
+        # Pin value parity with pytorch_msssim's avg_pool form, incl. the
+        # odd-size zero-pad branch, and that the backward stays finite.
+        from generativedensification_tpu.train.loss import _downsample2
+
+        rng = np.random.default_rng(3)
+        for H, W in ((32, 48), (33, 47)):
+            x = jnp.asarray(rng.uniform(size=(2, H, W, 3)), jnp.float32)
+            ph, pw = H % 2, W % 2
+            xp = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+            ref = xp.reshape(
+                2, (H + ph) // 2, 2, (W + pw) // 2, 2, 3
+            ).mean(axis=(2, 4))
+            got = _downsample2(x)
+            assert got.shape == ref.shape
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), rtol=0, atol=1e-6
+            )
+            g = jax.grad(lambda v: jnp.sum(_downsample2(v) ** 2))(x)
+            assert bool(jnp.all(jnp.isfinite(g)))
+
 
 class TestLosses:
     def test_perfect_prediction_zero_loss(self):
