@@ -98,7 +98,10 @@ def main():
         # rect enumerated is EXACT: overflow == 0 with no culling caveat.
         tile_size=32,
         max_tiles=4,
-        max_per_tile=4096,
+        # 4096 suffices at the default 131k (max live tile ~2k); denser
+        # scenes clamp tiles and the overflow probe below refuses to
+        # publish — BENCH_MPT raises the cap (262k needs 8192)
+        max_per_tile=int(os.environ.get("BENCH_MPT", 4096)),
         chunk=32,
         # optional static live-pair budget (BENCH_PAIRS env, pairs per
         # gaussian).  At 131k the direct-gather fast path already avoids

@@ -1,4 +1,12 @@
-"""Diagnose why dev_dsum_width reads ~0: caching vs DCE."""
+"""Diagnose why dev_dsum_width reads ~0: caching vs DCE.
+
+STATUS: UNRESOLVED — two launches hung before reaching the device
+(~6s CPU then nothing; a fresh jax.devices() probe from another process
+connected instantly both times, so the tunnel itself was fine).  The
+in-graph device trace supersedes these microbenches for the dsum
+question; kept for a future session.  fresh=True times with new index
+arrays per call to defeat any (executable, args)-level result caching.
+"""
 import sys; sys.path.insert(0, "/root/repo")
 import time
 import numpy as np

@@ -1,10 +1,19 @@
 """Width sweep of the dsum row gather over the PACKED-slab transpose view.
 
-dev_dsum_ab round-4 finding: from the (16, M) packed slab's (M, 16)
-bitcast view, slicing the gather to 10 rows is 4.3x faster than 16
-(3.24 vs 13.93 ms serial) — far beyond the 10/16 byte ratio, so XLA's
-gather codegen changes shape with the slice width.  Map the curve and
-test split-gather combinations (two narrow gathers may beat one wide).
+STATUS: INCONCLUSIVE HARNESS — every variant reads ~0.001 ms on-chip:
+XLA (or the axon execution cache) collapses the whole fori_loop despite
+the serial dependence, in both the narrow-consumer and full-sum forms
+(dev_dsum_diag.py chased it; the process also intermittently hung
+pre-devices).  The numbers this script prints MUST NOT be trusted.
+The width question it was built for is answered in-graph instead: the
+device trace charges 3.0 ms for the 10-row-slice dsum gathers (PERF.md
+round-4 trace), matching dev_dsum_ab's rowv10.  Kept for a future
+session to fix the harness; see the axon discipline notes in PERF.md.
+
+Original intent: from the (16, M) packed slab's (M, 16) bitcast view,
+slicing the gather to 10 rows is 4.3x faster than 16 (3.24 vs 13.93 ms
+serial, dev_dsum_ab) — far beyond the 10/16 byte ratio; map the curve
+and test split-gather combinations.
 """
 import sys; sys.path.insert(0, "/root/repo")
 import time
