@@ -695,9 +695,14 @@ def _reduce_grad_rows(grad_al, apos, N, depth_order, width, rows=None):
     (N, width) sums.
 
     Strategy is picked by ``APOS_MODE`` (module doc above); ``apos`` must
-    have been built by ``_slab_maps`` with the matching mode.  ``rows``
-    restricts the reduction to the slab rows the mode actually writes;
-    the returned (N, width) rows are zero outside that range."""
+    have been built by ``_slab_maps`` with the matching mode.  ``rows`` is
+    an *optimization* honored only by the ``*_dsum`` row-gather strategies
+    (the mode gate below): there the gathers read only the sliced rows and
+    the returned (N, width) rows are zero-padded outside the range.  The
+    'gauss' / 'rank' / 'gauss_dsum_col' strategies ignore ``rows`` and run
+    the full width-row reduction — rows the kernel never writes come back
+    as whatever it zero-initialized them to (zeros today), not as the
+    slice/pad contract."""
     from .pallas_kernels import RED_BN, TBLK, pallas_reduce_slots
 
     M = grad_al.shape[1]

@@ -132,6 +132,14 @@ def _chunk_geometry(AT, Xl, Yl, ox, oy, offset, count, znear, zfar,
     # binning's circle cull output-exact (see surfel.rasterize_surfels)
     rcut = col(_RAD)
     ok = (alpha >= ALPHA_MIN) & (zhit > NEAR_CULL) & (d2 <= rcut * rcut)
+    # LOAD-BEARING: this where-based masking (NaN compares false in `ok`,
+    # so NaN/Inf alpha lands on the 0.0 branch) is what keeps the pad
+    # columns safe — the slab's safety padding and the chunk head rows
+    # REPLICATE surfel 0's attributes (see _gather_sorted_slab), whose
+    # degenerate values can make `opa_c * exp(power)` NaN before this
+    # point.  Do not refactor into multiplicative masking
+    # (`alpha * ok.astype(...)`): NaN * 0 = NaN would leak pad-column
+    # garbage into live pixels.
     alpha = jnp.where(ok, alpha, 0.0)
 
     if not depth:
