@@ -48,6 +48,16 @@ T_EPS = 1e-4
 NEAR_CULL = 0.2
 # 2DGS object-space/screen-space filter blend (2D low-pass sigma in px)
 FILTER_2D_VAR = 2.0
+# Test hook (tests/test_surfel.py::test_circular_truncation_bound): False
+# restores the reference CUDA rasterizer's 3σ-rect semantics
+# (renderer_2dgs.py via diff-surfel-rasterization: splats contribute over
+# their full bounding rect) in the XLA backend — no circle cull in
+# binning, no circular cut in compositing.  The default circular
+# truncation is the documented deviation: it additionally drops the
+# rect-corner ring beyond the projected 3σ axis radius, where
+# alpha <= opacity·e^{-4.5} ≈ 0.011·opacity.  Both repo backends share
+# the deviation, so only this hook can surface it for bounding.
+CIRCLE_TRUNC = True
 
 
 @struct.dataclass
@@ -238,6 +248,8 @@ def rasterize_surfels(
     # of the clamp — the floor makes it structural).
     lam = 2.0 * jnp.maximum(tau, 1e-6) / jnp.maximum(radius, 1.0) ** 2
     conic_circ = jnp.stack([lam, jnp.zeros_like(lam), lam], axis=-1)
+    if not CIRCLE_TRUNC:  # test hook (module doc): bin full bounding rects
+        conic_circ = jnp.zeros_like(conic_circ)
     proj = ProjectedGaussians(
         xy=xy, depth=depth, conic=conic_circ, color=color,
         opacity=opacity_f, radius=radius, valid=valid,
@@ -533,6 +545,8 @@ def _xla_scan_fwd(acr, bcr, ccr, det, xy, rad, color, opacity, normal, bg,
         # binning's circle cull output-exact (see rasterize_surfels)
         rcut = g[..., 19:20]
         in_circle = (dx * dx + dy * dy) <= rcut * rcut
+        if not CIRCLE_TRUNC:  # module-doc test hook: rect semantics
+            in_circle = jnp.ones_like(in_circle)
         ok = (
             (power <= 0.0) & (alpha >= ALPHA_MIN) & gok[..., None]
             & (zhit > NEAR_CULL) & in_circle
@@ -670,6 +684,8 @@ def _xla_sel_abs(acr, bcr, ccr, det, xy, rad, color, opacity, bg, cot_full,
         alpha = jnp.minimum(ALPHA_MAX, g[..., 15:16] * jnp.exp(power))
         rcut = g[..., 16:17]
         in_circle = (dx * dx + dy * dy) <= rcut * rcut
+        if not CIRCLE_TRUNC:  # module-doc test hook: rect semantics
+            in_circle = jnp.ones_like(in_circle)
         ok = (
             (power <= 0.0) & (alpha >= ALPHA_MIN) & gok[..., None]
             & (zhit > NEAR_CULL) & in_circle
