@@ -130,6 +130,16 @@ BASE = {
         "seed": 0,
         "profile_dir": None,
         "nan_check": False,
+        # overflow-free warmup (train/train.py): generous budgets for the
+        # first N steps so RANDOM-INIT splats bin without drops (the tight
+        # budgets above are sized for trained voxel-scale primitives);
+        # then the tight config.  Alarm fires when stats["overflow"] > 0
+        # at the logging cadence: "warn" | "raise" | "off".
+        "overflow_warmup_steps": 2000,
+        "warmup_max_tiles": 9,
+        "warmup_enum_tiles": 16,
+        "warmup_max_per_tile": 8192,
+        "overflow_alarm": "warn",
     },
 }
 

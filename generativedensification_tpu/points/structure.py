@@ -204,7 +204,13 @@ def compute_neighbor_idx(ps: PointSet, depth: int | None = None) -> PointSet:
             [point_key << 1, (query_key << 1) | jnp.uint32(1)]
         )
         tag = jnp.arange(M, dtype=jnp.int32)       # <N: point idx, else query
-        sk_s, tag_s = jax.lax.sort_key_val(sk, tag)
+        # unstable: point-before-query ordering is carried by the priority
+        # bit, not by stability; among equal-keyed POINTS stability only
+        # picks which co-voxel point represents the voxel — an arbitrary-
+        # but-fixed collapse either way (spconv-hash semantics above), and
+        # every consumer shares this one table.  XLA's stable lowering
+        # carries an extra payload array (~2.5x at 537k keys, PERF.md).
+        sk_s, tag_s = jax.lax.sort_key_val(sk, tag, is_stable=False)
         iota = jnp.arange(M, dtype=jnp.int32)
         # latest point entry at or before each sorted position
         prun = jax.lax.cummax(jnp.where(tag_s < N, iota, -1))

@@ -209,15 +209,18 @@ def bin_gaussians(
     if max_pairs is not None and max_pairs < N * max_tiles:
         # depth-principled budget: drop the pairs of the globally FARTHEST
         # gaussians first (not the sorted tail, which would clip the last
-        # tiles of the image).  Rank histogram + cumsum finds the depth-
-        # rank cutoff that fits the budget; all 1-D int32 ops (~1ms at 1M).
+        # tiles of the image).  The per-rank live-slot histogram is NOT a
+        # (N*D,)-index scatter-add (that form measured 7.6ms/render at
+        # 262k on-chip, serialized — r5 step trace): each gaussian's live
+        # slot count is a lane-parallel (E, N) reduce, and per_rank is
+        # that count gathered through the rank->gaussian permutation.
         P = min(-(-int(max_pairs) // 1024) * 1024, N * max_tiles)
-        pair_rank = jnp.where(slot_valid, rank[None, :], N).reshape(-1)
-        per_rank = jnp.zeros((N + 1,), jnp.int32).at[pair_rank].add(1)
-        cum = jnp.cumsum(per_rank[:-1])            # pairs up to each rank
+        n_slots_g = jnp.sum(slot_valid.astype(jnp.int32), axis=0)  # (N,)
+        per_rank = jnp.take(n_slots_g, order, axis=0)  # rank order
+        cum = jnp.cumsum(per_rank)                 # pairs up to each rank
         keep_rank = cum <= P                       # (N,) per depth rank
-        n_live = jnp.sum(slot_valid.astype(jnp.int32))
-        kept = jnp.sum(jnp.where(keep_rank, per_rank[:-1], 0))
+        n_live = jnp.sum(n_slots_g)
+        kept = jnp.sum(jnp.where(keep_rank, per_rank, 0))
         overflow = overflow + (n_live - kept)
         slot_valid = slot_valid & keep_rank[rank][None, :]
     else:

@@ -65,6 +65,50 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, data_range: float = 1.0) -> jnp.n
     return _ssim_and_cs(img1, img2, data_range)[0]
 
 
+@jax.custom_vjp
+def _avg4(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2 stride-2 average of an even-sized NHWC array.
+
+    ``reduce_window`` form: the strided-slice-sum lowered to 4.3 ms
+    index-GATHERS per image stack on TPU (52 ms/step total, r5 trace);
+    the windowed reduce is a dense single pass.  Same 4-term average up
+    to f32 association (the value-parity test allows 1e-6)."""
+    s = jax.lax.reduce_window(
+        x, jnp.zeros((), x.dtype), jax.lax.add,
+        (1, 2, 2, 1), (1, 2, 2, 1), "VALID",
+    )
+    return 0.25 * s
+
+
+def _avg4_fwd(x):
+    return _avg4(x), None
+
+
+def _avg4_bwd(res, ct):
+    # Each input pixel sits in exactly ONE 2x2 window, so the exact
+    # gradient is 0.25 * nearest-upsample(ct).  Expressed as a depthwise
+    # lhs-dilated conv: XLA's default transpose of the strided slices is
+    # four interior pads that its TPU backend rewrites into chained
+    # row-SCATTERS — 208 ms/step serialized at the flagship loss stacks
+    # (r5 step trace, loss.py was the #1 non-render op); the conv lowers
+    # dense (~1 ms).  Bitwise: g = 0.25*ct exactly (one multiply).
+    del res  # input shape is 2x the output's (even-sized by contract)
+    C = ct.shape[-1]
+    k = jnp.full((2, 2, 1, C), 0.25, ct.dtype)
+    g = jax.lax.conv_general_dilated(
+        ct, k,
+        window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=C,
+    )
+    return (g,)
+
+
+_avg4.defvjp(_avg4_fwd, _avg4_bwd)
+
+
 def _downsample2(x: jnp.ndarray) -> jnp.ndarray:
     """avg_pool 2x2 stride 2, zero-padded to even (pytorch_msssim).
 
@@ -73,16 +117,13 @@ def _downsample2(x: jnp.ndarray) -> jnp.ndarray:
     size-2 minor dim that TPU lane-pads 64x — a 4.5GB HLO temp at the
     reference batch (B=3, 512x4V views), the allocation that OOM'd the
     B=3 train step (r4).  The slice form is the same 4-term average (f32
-    association differs by ≤1 ulp) and its backward is four dense
-    strided pads."""
+    association differs by ≤1 ulp); its backward is pinned to a dense
+    conv by ``_avg4``'s custom_vjp (see there)."""
     B, H, W, C = x.shape
     ph, pw = H % 2, W % 2
     if ph or pw:
         x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
-    return 0.25 * (
-        x[:, 0::2, 0::2] + x[:, 0::2, 1::2]
-        + x[:, 1::2, 0::2] + x[:, 1::2, 1::2]
-    )
+    return _avg4(x)
 
 
 def ms_ssim(

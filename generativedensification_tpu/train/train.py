@@ -99,15 +99,33 @@ def main(cfg):
     #    (reference network.py:777-779) — one traced variant per count.
     start_fine = cfg.train.start_fine
     use_rand_views = bool(cfg.train.get("use_rand_views", False))
+    # Overflow-free warmup (the CUDA rasterizer allocates pair lists
+    # dynamically, renderer.py:250-259; the TPU build's static budgets are
+    # sized for TRAINED voxel-scale primitives and drop pairs at random
+    # init — 233k at the flagship probe).  For the first
+    # ``tpu.overflow_warmup_steps`` steps the step runs with the measured
+    # generous budgets (``tpu.warmup_max_tiles``/``warmup_enum_tiles``/
+    # ``warmup_max_per_tile``, pair budget off — overflow == 0 from
+    # random init on the flagship probe, BASELINE.md), then switches to
+    # the tight config once splats have shrunk to voxel scale.  Two
+    # traced variants, like the start_fine switch.
+    warmup_steps = int(cfg.tpu.get("overflow_warmup_steps", 0))
     _steps: dict = {}
 
-    def get_train_step(fine: bool, n_views: int):
-        key = (fine, n_views)
+    def get_train_step(fine: bool, n_views: int, warm: bool = False):
+        key = (fine, n_views, warm)
         if key not in _steps:
-            net_v = (
-                net if n_views == net_cfg.n_views
-                else Network(dataclasses.replace(net_cfg, n_views=n_views))
-            )
+            over = {}
+            if n_views != net_cfg.n_views:
+                over["n_views"] = n_views
+            if warm:
+                over.update(
+                    max_tiles=int(cfg.tpu.get("warmup_max_tiles", 9)),
+                    enum_tiles=int(cfg.tpu.get("warmup_enum_tiles", 16)),
+                    max_per_tile=int(cfg.tpu.get("warmup_max_per_tile", 8192)),
+                    pair_budget=0.0,
+                )
+            net_v = Network(dataclasses.replace(net_cfg, **over)) if over else net
             fn = make_train_step(net_v, tx, losses, with_fine=fine)
             _steps[key] = nan_guard(fn, enabled=bool(cfg.tpu.nan_check))
         return _steps[key]
@@ -168,7 +186,7 @@ def main(cfg):
                 rand_views_at(cfg.tpu.seed, step) if use_rand_views
                 else net_cfg.n_views
             )
-            train_step = get_train_step(fine_now, v_now)
+            train_step = get_train_step(fine_now, v_now, step < warmup_steps)
             with maybe_profile(profile_dir if step == 20 else None):
                 state, stats = train_step(state, batch)
             step += 1
@@ -178,6 +196,26 @@ def main(cfg):
                 msg = " ".join(f"{k}={v:.4g}" for k, v in sorted(s.items()))
                 print(f"[epoch {epoch} step {step}] {msg}", flush=True)
                 log_scalars("train", s, step)
+                # overflow alarm: dropped (gaussian, tile) pairs silently
+                # zero those pairs' gradients — must be 0 in healthy
+                # training (train/step.py).  ``tpu.overflow_alarm``:
+                # "warn" (default) | "raise" | "off".
+                alarm = cfg.tpu.get("overflow_alarm", "warn")
+                if alarm != "off" and s.get("overflow", 0.0) > 0:
+                    msg = (
+                        f"[train] OVERFLOW ALARM @ step {step}: "
+                        f"{s['overflow']:.0f} live pairs dropped by the "
+                        "static budgets (gradients silently zeroed). "
+                        + ("Still in warmup budgets — raise "
+                           "tpu.warmup_max_tiles/warmup_max_per_tile."
+                           if step <= warmup_steps else
+                           "Raise tpu.overflow_warmup_steps or the tight "
+                           "budgets (tpu.max_tiles/max_per_tile/"
+                           "pair_budget).")
+                    )
+                    if alarm == "raise":
+                        raise RuntimeError(msg)
+                    print(msg, flush=True)
             if step % int(cfg.logger.get("image_interval", 1000)) == 0 and (
                 tb or wandb
             ):

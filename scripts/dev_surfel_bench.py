@@ -27,11 +27,14 @@ n = 131072; H = W = 512
 means = jnp.asarray(rng.uniform(-0.45, 0.45, size=(n, 3)), jnp.float32)
 shs = jnp.asarray(rng.normal(size=(n, 4, 3)) * 0.3 + 0.2, jnp.float32)
 opa = jax.nn.sigmoid(jnp.asarray(rng.normal(size=(n,)) - 1.0, jnp.float32))
-# historical default 0.004-0.02 OVERFLOWS mt=4 (90.5k dropped pairs at
-# 512² — radii reach ~26px); SCALES=3dgs matches the 3DGS bench scene
-# (0.002-0.01, overflow 0) so the two headlines compare like with like
+# r5 headline fix (VERDICT r4 weak #3): the DEFAULT scene is now the
+# overflow-free 3DGS-comparable one (0.002-0.01, overflow ~20 of ~250k —
+# like-for-like with bench.py's 54 r/s headline).  The historical
+# free-scale scene (0.004-0.02) OVERFLOWS mt=4 (90.5k dropped pairs at
+# 512² — radii reach ~26px), understating cost; SCALES=free restores it
+# for comparison with the old rows.
 _smin, _smax = (
-    (0.002, 0.01) if os.environ.get("SCALES", "") == "3dgs" else (0.004, 0.02)
+    (0.004, 0.02) if os.environ.get("SCALES", "") == "free" else (0.002, 0.01)
 )
 scales = jnp.exp(jnp.asarray(rng.uniform(np.log(_smin), np.log(_smax), size=(n, 2)), jnp.float32))
 quats = normalize_quat(jnp.asarray(rng.normal(size=(n, 4)), jnp.float32))

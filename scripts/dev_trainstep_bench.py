@@ -32,7 +32,8 @@ cfg = NetworkConfig(
     mask_pool=int(os.environ.get("MASKPOOL", 49152)),
     tile_size=int(os.environ.get("TS", 32)),
     max_tiles=int(os.environ.get("MT", 4)),
-    max_per_tile=4096,
+    enum_tiles=int(os.environ.get("ET", 0)),
+    max_per_tile=int(os.environ.get("MPT", 4096)),
     raster_chunk=32,
     compute_dtype=os.environ.get("DTYPE", "float32"),
     renderer=os.environ.get("RENDERER", "3dgs"),

@@ -262,3 +262,42 @@ class TestExactSourceViews:
         out = net.apply(params, b2, with_fine=True)
         assert out["image"].shape == (B, H, V_SRC * W, 3)
         assert np.isfinite(np.asarray(out["image_fine"])).all()
+
+
+
+class TestOverflowWarmup:
+    """r5 (VERDICT r4 ask #2): random-init splats must bin without drops
+    under the WARMUP budgets (generous max_tiles/enum window, pair budget
+    off), while deliberately tight budgets show the overflow instrument
+    fires — the mechanism behind ``tpu.overflow_warmup_steps``.  The
+    flagship-scale proof (512², 64³, overflow == 0 from random init at
+    MT=9/ET=16/MPT=8192) is the BASELINE.md warmup-probe row."""
+
+    def _overflow_at(self, over):
+        from generativedensification_tpu.train.loss import Losses
+        from generativedensification_tpu.train.optim import make_optimizer
+        from generativedensification_tpu.train.state import create_train_state
+        from generativedensification_tpu.train.step import make_train_step
+
+        cfg = tiny_config(**over)
+        net = Network(cfg)
+        batch = make_batch(seed=7)
+        params = net.init({"params": jax.random.PRNGKey(3)}, batch,
+                          with_fine=True)
+        tx, _ = make_optimizer(params)
+        state = create_train_state(params, tx)
+        step = make_train_step(net, tx, Losses(), with_fine=True)
+        _, stats = step(state, batch)
+        return float(stats["overflow"])
+
+    @pytest.mark.slow
+    def test_warmup_budgets_overflow_free_tight_overflows(self):
+        # warmup-style: enum window larger than the slot budget, pair
+        # budget off, generous per-tile cap
+        assert self._overflow_at(dict(max_tiles=9, enum_tiles=16,
+                                      max_per_tile=1024,
+                                      pair_budget=0.0)) == 0.0
+        # deliberately starved budgets: the instrument must see drops
+        assert self._overflow_at(dict(max_tiles=1, enum_tiles=0,
+                                      max_per_tile=8,
+                                      pair_budget=0.0)) > 0.0

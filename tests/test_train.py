@@ -91,6 +91,36 @@ class TestSSIM:
             g = jax.grad(lambda v: jnp.sum(_downsample2(v) ** 2))(x)
             assert bool(jnp.all(jnp.isfinite(g)))
 
+    def test_downsample2_custom_vjp_bitwise(self):
+        # r5: the backward is a hand-written dense depthwise conv
+        # (custom_vjp on _avg4) — XLA rewrote the default slice-transpose
+        # pads into 208 ms/step of serialized scatters at the flagship
+        # loss stacks.  Pin bitwise gradient equality vs the plain
+        # autodiff'd slice form.
+        from generativedensification_tpu.train.loss import _downsample2
+
+        def plain(x):
+            B, H, W, C = x.shape
+            ph, pw = H % 2, W % 2
+            if ph or pw:
+                x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+            return 0.25 * (
+                x[:, 0::2, 0::2] + x[:, 0::2, 1::2]
+                + x[:, 1::2, 0::2] + x[:, 1::2, 1::2]
+            )
+
+        rng = np.random.default_rng(5)
+        for H, W in ((16, 24), (15, 23)):
+            x = jnp.asarray(rng.normal(size=(2, H, W, 3)), jnp.float32)
+            ct = jnp.asarray(
+                rng.normal(size=plain(x).shape), jnp.float32
+            )
+            g_new = jax.vjp(_downsample2, x)[1](ct)[0]
+            g_old = jax.vjp(plain, x)[1](ct)[0]
+            np.testing.assert_array_equal(
+                np.asarray(g_new), np.asarray(g_old)
+            )
+
 
 class TestLosses:
     def test_perfect_prediction_zero_loss(self):
