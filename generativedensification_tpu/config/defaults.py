@@ -105,6 +105,7 @@ BASE = {
         "limit_train_batches": 0.2,
         "limit_val_batches": 0.02,
         "check_val_every_n_epoch": 1,
+        "ckpt_every_n_epoch": 2,
         "start_fine": -1,
         "use_rand_views": False,
         "accumulate_grad_batches": 2,

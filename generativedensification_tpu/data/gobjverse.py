@@ -115,6 +115,12 @@ class GobjverseDataset:
         if self.load_normal:
             nrm = np.stack(nrms) @ tmats[0, :3, :3].T
             ret["tar_nrm"] = nrm.transpose(1, 0, 2, 3).reshape(H, len(view_id) * W, 3)
-        ret["tar_rays"] = build_rays_np(c2ws, ixts.copy(), H, W, 1.0)
+        # full-res rays feed only the eval CLI's side outputs; the train
+        # loop drops them — and building them is ~half the per-sample
+        # host cost (292 of 612 ms at 512², r5).  ``load_rays: false``
+        # skips them (train configs); the downsampled rays the network
+        # conditions on are built directly at 1/16 scale either way.
+        if bool(self.cfg.get("load_rays", True)):
+            ret["tar_rays"] = build_rays_np(c2ws, ixts.copy(), H, W, 1.0)
         ret["tar_rays_down"] = build_rays_np(c2ws, ixts.copy(), H, W, 1.0 / 16)
         return ret

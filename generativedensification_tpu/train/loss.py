@@ -23,6 +23,21 @@ def _gaussian_window(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
     return g / g.sum()
 
 
+import os as _os
+
+# SSIM conv precision.  The reference FORCES fp32 SSIM under autocast
+# (loss.py:45-48); JAX's DEFAULT conv precision lowers f32 TPU convs to
+# ONE bf16 pass (r5 HLO audit: the window convs ran bf16 even under the
+# f32 policy — a TPU-only deviation CPU parity tests cannot see), so the
+# default here is HIGHEST (true f32).  GD_SSIM_PREC=default|high|highest
+# is the measured A/B knob (PERF.md r5).
+_SSIM_PREC = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}[_os.environ.get("GD_SSIM_PREC", "highest")]
+
+
 def _blur(x: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
     """Separable valid-padding gaussian filter, NHWC, per channel."""
     C = x.shape[-1]
@@ -31,11 +46,13 @@ def _blur(x: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
     kern_w = jnp.tile(win.reshape(k, 1, 1, 1, 1), (1, 1, 1, 1, C)).reshape(1, k, 1, C)
     dn = jax.lax.conv_dimension_numbers(x.shape, (k, 1, 1, C), ("NHWC", "HWIO", "NHWC"))
     x = jax.lax.conv_general_dilated(
-        x, kern_h, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=C
+        x, kern_h, (1, 1), "VALID", dimension_numbers=dn,
+        feature_group_count=C, precision=_SSIM_PREC,
     )
     dn = jax.lax.conv_dimension_numbers(x.shape, (1, k, 1, C), ("NHWC", "HWIO", "NHWC"))
     x = jax.lax.conv_general_dilated(
-        x, kern_w, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=C
+        x, kern_w, (1, 1), "VALID", dimension_numbers=dn,
+        feature_group_count=C, precision=_SSIM_PREC,
     )
     return x
 
@@ -102,6 +119,10 @@ def _avg4_bwd(res, ct):
         lhs_dilation=(2, 2),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=C,
+        # HIGHEST: TPU DEFAULT would run one bf16 pass, ROUNDING ct to 8
+        # mantissa bits before the exact power-of-two 0.25 scale — the
+        # bitwise-equality contract of this backward requires f32
+        precision=jax.lax.Precision.HIGHEST,
     )
     return (g,)
 

@@ -177,10 +177,27 @@ def main(cfg):
         elif tb:
             tb.add_image("train/panel", panel.transpose(2, 0, 1), step)
 
+    # The train/eval step functions consume only: tar_rgb, tar_c2w,
+    # tar_w2c, tar_ixt, tar_rays_down, fovx, fovy, near_far, bg_color.
+    # The loaders also carry full-res ``tar_rays`` (V x H x W x 6 f32,
+    # ~50MB/batch at the flagship), masks, normals and depth for the
+    # eval-CLI side outputs; shipping those host->device every step
+    # dominated the loader-attached wall time (r5 HDF5 probe).
+    _DROP_KEYS = ("tar_rays", "tar_msk", "tar_nrm", "tar_dep")
+
+    def _device_batch(batch_np):
+        return shard_batch(
+            to_device_batch(
+                {k: v for k, v in batch_np.items() if k not in _DROP_KEYS}
+            ),
+            mesh,
+        )
+
     step = int(state.step)
+    t_win = time.time()
     for epoch in range(cfg.train.n_epoch):
         for batch_np in train_loader:
-            batch = shard_batch(to_device_batch(batch_np), mesh)
+            batch = _device_batch(batch_np)
             fine_now = start_fine < 0 or step > start_fine
             v_now = (
                 rand_views_at(cfg.tpu.seed, step) if use_rand_views
@@ -193,6 +210,13 @@ def main(cfg):
             if step % 20 == 0:
                 s = {k: float(v) for k, v in stats.items()}
                 s["lr"] = float(schedule(jnp.asarray(step)))
+                # loader-attached wall throughput over the window (the
+                # first window absorbs compiles; later windows are the
+                # end-to-end rate incl. host loading + transfer)
+                now = time.time()
+                s["samples_per_s"] = 20.0 * global_batch / max(now - t_win,
+                                                               1e-9)
+                t_win = now
                 msg = " ".join(f"{k}={v:.4g}" for k, v in sorted(s.items()))
                 print(f"[epoch {epoch} step {step}] {msg}", flush=True)
                 log_scalars("train", s, step)
@@ -200,8 +224,10 @@ def main(cfg):
                 # zero those pairs' gradients — must be 0 in healthy
                 # training (train/step.py).  ``tpu.overflow_alarm``:
                 # "warn" (default) | "raise" | "off".
+                # NB: the CLI override parser is YAML, which coerces the
+                # bare word ``off`` to False — treat any falsy value as off
                 alarm = cfg.tpu.get("overflow_alarm", "warn")
-                if alarm != "off" and s.get("overflow", 0.0) > 0:
+                if alarm and alarm != "off" and s.get("overflow", 0.0) > 0:
                     msg = (
                         f"[train] OVERFLOW ALARM @ step {step}: "
                         f"{s['overflow']:.0f} live pairs dropped by the "
@@ -226,7 +252,7 @@ def main(cfg):
         if (epoch + 1) % cfg.train.check_val_every_n_epoch == 0:
             accum, n = {}, 0
             for batch_np in val_loader:
-                batch = shard_batch(to_device_batch(batch_np), mesh)
+                batch = _device_batch(batch_np)
                 _, stats = eval_step(state.params, batch)
                 for k, v in stats.items():
                     accum[k] = accum.get(k, 0.0) + float(v)
@@ -238,7 +264,10 @@ def main(cfg):
                 ), flush=True)
                 log_scalars("val", means, step)
 
-        if (epoch + 1) % 2 == 0 or epoch == cfg.train.n_epoch - 1:
+        # checkpoint cadence (a full-state save pulls ~1.6GB D2H +
+        # serializes; on short epochs this dominated wall time — r5)
+        ckpt_every = int(cfg.train.get("ckpt_every_n_epoch", 2))
+        if (epoch + 1) % ckpt_every == 0 or epoch == cfg.train.n_epoch - 1:
             save_checkpoint(ckpt_dir, jax.device_get(state), step)
             print(f"[train] checkpoint @ step {step} -> {ckpt_dir}")
 

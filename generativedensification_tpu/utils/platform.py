@@ -24,6 +24,20 @@ def honor_jax_platforms_env() -> None:
         jax.config.update("jax_platforms", plat)
 
 
+def enable_compile_cache(path: str | None = None) -> None:
+    """Persistent XLA compilation cache (train/eval CLIs): the flagship
+    step compiles in minutes; restarts and auto-resume should not pay it
+    twice.  ``JAX_COMPILATION_CACHE_DIR`` overrides the location."""
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                       path or "/tmp/gd_tpu_jaxcache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def jit_init(net, batch, rng=None, **apply_kw):
     """One-compile flax init (init is eager per-op otherwise)."""
     import jax

@@ -8,7 +8,11 @@ configs/base.yaml; dotted overrides win.
 from generativedensification_tpu.train.train import cli
 
 if __name__ == "__main__":
-    from generativedensification_tpu.utils.platform import honor_jax_platforms_env
+    from generativedensification_tpu.utils.platform import (
+        enable_compile_cache,
+        honor_jax_platforms_env,
+    )
 
     honor_jax_platforms_env()
+    enable_compile_cache()
     cli()
