@@ -85,6 +85,8 @@ class BatchLoader:
         q: queue.Queue = queue.Queue(maxsize=self.num_prefetch)
         stop = object()
 
+        err: list[BaseException] = []
+
         def worker():
             try:
                 for b in range(nb):
@@ -92,6 +94,8 @@ class BatchLoader:
                     if len(sel) < self.batch_size and self.drop_last:
                         break
                     q.put(collate([self.dataset[int(i)] for i in sel]))
+            except BaseException as e:  # re-raised on the consumer side
+                err.append(e)
             finally:
                 q.put(stop)
 
@@ -100,6 +104,13 @@ class BatchLoader:
         while True:
             item = q.get()
             if item is stop:
+                # surface dataset errors in the consumer (a swallowed
+                # worker exception used to appear as a bare StopIteration
+                # from the training loop — r5 debugging tax)
+                if err:
+                    raise RuntimeError(
+                        "BatchLoader worker failed while building a batch"
+                    ) from err[0]
                 break
             yield item
         self.epoch += 1

@@ -28,14 +28,18 @@ import os as _os
 # SSIM conv precision.  The reference FORCES fp32 SSIM under autocast
 # (loss.py:45-48); JAX's DEFAULT conv precision lowers f32 TPU convs to
 # ONE bf16 pass (r5 HLO audit: the window convs ran bf16 even under the
-# f32 policy — a TPU-only deviation CPU parity tests cannot see), so the
-# default here is HIGHEST (true f32).  GD_SSIM_PREC=default|high|highest
-# is the measured A/B knob (PERF.md r5).
+# f32 policy — a TPU-only deviation CPU parity tests cannot see).
+# GD_SSIM_PREC=highest restores true-f32 convs: measured +20 ms at B=1
+# (1170 vs 1150 ms/step) but XLA's f32-conv layout assignment pads the
+# B=3 image-stack temps 56x ((3, 3) minor-dim tiles — eighteen 1-4GB
+# allocations, 39.7G > HBM), so the DEFAULT here stays the reference-
+# batch-feasible bf16-pass form; the measured value delta is recorded in
+# PERF.md r5.
 _SSIM_PREC = {
     "default": jax.lax.Precision.DEFAULT,
     "high": jax.lax.Precision.HIGH,
     "highest": jax.lax.Precision.HIGHEST,
-}[_os.environ.get("GD_SSIM_PREC", "highest")]
+}[_os.environ.get("GD_SSIM_PREC", "default")]
 
 
 def _blur(x: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
@@ -103,28 +107,21 @@ def _avg4_fwd(x):
 
 def _avg4_bwd(res, ct):
     # Each input pixel sits in exactly ONE 2x2 window, so the exact
-    # gradient is 0.25 * nearest-upsample(ct).  Expressed as a depthwise
-    # lhs-dilated conv: XLA's default transpose of the strided slices is
-    # four interior pads that its TPU backend rewrites into chained
+    # gradient is 0.25 * nearest-upsample(ct).  Expressed as two MONOTONE
+    # repeated-index takes: XLA's default transpose of the strided slices
+    # is four interior pads that its TPU backend rewrites into chained
     # row-SCATTERS — 208 ms/step serialized at the flagship loss stacks
-    # (r5 step trace, loss.py was the #1 non-render op); the conv lowers
-    # dense (~1 ms).  Bitwise: g = 0.25*ct exactly (one multiply).
+    # (r5 step trace, loss.py was the #1 non-render op).  A depthwise
+    # lhs-dilated conv form was measured equivalent at B=1 but its f32
+    # conv operands force XLA into (3, 3)-minor padded layouts that
+    # cascade 56x-padded 4GB temps through the whole loss stack at B=3
+    # (OOM; r5 bisect) — takes are layout-neutral.  Bitwise:
+    # g = 0.25*ct exactly (one power-of-two multiply).
     del res  # input shape is 2x the output's (even-sized by contract)
-    C = ct.shape[-1]
-    k = jnp.full((2, 2, 1, C), 0.25, ct.dtype)
-    g = jax.lax.conv_general_dilated(
-        ct, k,
-        window_strides=(1, 1),
-        padding=((1, 1), (1, 1)),
-        lhs_dilation=(2, 2),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=C,
-        # HIGHEST: TPU DEFAULT would run one bf16 pass, ROUNDING ct to 8
-        # mantissa bits before the exact power-of-two 0.25 scale — the
-        # bitwise-equality contract of this backward requires f32
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    return (g,)
+    B, H2, W2, C = ct.shape
+    hh = jnp.arange(2 * H2, dtype=jnp.int32) // 2
+    ww = jnp.arange(2 * W2, dtype=jnp.int32) // 2
+    return (0.25 * jnp.take(jnp.take(ct, hh, axis=1), ww, axis=2),)
 
 
 _avg4.defvjp(_avg4_fwd, _avg4_bwd)
@@ -139,11 +136,17 @@ def _downsample2(x: jnp.ndarray) -> jnp.ndarray:
     reference batch (B=3, 512x4V views), the allocation that OOM'd the
     B=3 train step (r4).  The slice form is the same 4-term average (f32
     association differs by ≤1 ulp); its backward is pinned to a dense
-    conv by ``_avg4``'s custom_vjp (see there)."""
+    conv by ``_avg4``'s custom_vjp (see there).  GD_DS2=slice restores
+    the r4 plain-autodiff slice form (memory-bisect knob)."""
     B, H, W, C = x.shape
     ph, pw = H % 2, W % 2
     if ph or pw:
         x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+    if _os.environ.get("GD_DS2", "") == "slice":
+        return 0.25 * (
+            x[:, 0::2, 0::2] + x[:, 0::2, 1::2]
+            + x[:, 1::2, 0::2] + x[:, 1::2, 1::2]
+        )
     return _avg4(x)
 
 

@@ -129,7 +129,10 @@ def make_fwd(stage: str):
             boff = pl.multiple_of((c % 2) * SLAB_W2, SLAB_W2)
             A = buf[pl.ds(boff, SLAB_W2)]
             if stage == "dma":
-                C8 = C8 + jnp.sum(A) * jnp.ones((8, npix), jnp.float32) * 1e-30
+                # row-sum touch (a full scalar reduce SIGABRT'd Mosaic on
+                # the 32-row slab; the 16-row 3DGS version was fine)
+                rows = jnp.sum(A, axis=1, keepdims=True)[:8]   # (8, 1)
+                C8 = C8 + rows * jnp.full((8, npix), 1e-30, jnp.float32)
                 return (c + 1, T_raw, C8, Dexp, Dmed, m1, m2)
             AT = A.T
             depth_on = stage not in ("alpha",)

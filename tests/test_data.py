@@ -127,3 +127,21 @@ class TestGobjverseLoader:
         m = s["tar_msk"]
         assert set(np.unique(m)).issubset({0.0, 1.0})
         assert 0.2 < m.mean() < 0.8
+
+
+def test_batchloader_propagates_worker_errors():
+    """r5: a dataset exception inside the prefetch thread must surface in
+    the consumer (it used to drain as a bare StopIteration)."""
+    from generativedensification_tpu.data.pipeline import BatchLoader
+
+    class Broken:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            raise ValueError("boom")
+
+    bl = BatchLoader(Broken(), 2, shuffle=False,
+                     process_index=0, process_count=1)
+    with pytest.raises(RuntimeError, match="worker failed"):
+        next(iter(bl))
