@@ -24,6 +24,57 @@ DINO_MEAN = (0.485, 0.456, 0.406)
 DINO_STD = (0.229, 0.224, 0.225)
 
 
+class BlockedSelfAttention(nn.Module):
+    """Self-attention computed in QUERY blocks (exact: softmax is
+    per-query-row, so blocking queries changes nothing numerically).
+
+    Drop-in for ``nn.MultiHeadDotProductAttention(name="attn")`` with the
+    SAME parameter tree (``query/key/value/out`` DenseGeneral leaves, so
+    the torch-checkpoint converter mapping is unchanged).  Motivation
+    (r5): the full (B·V, H, L, L) attention matrices at L=1025 tokens are
+    the B=3 flagship's largest allocations (653MB f32 + two bf16 halves
+    per live block); blocking queries at ``q_block`` caps them at
+    nb-times less, and the ``lax.map`` backward re-materializes per
+    block.  fp32 softmax island as before.
+    """
+
+    dim: int
+    num_heads: int
+    q_block: int = 128
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, L, _ = x.shape
+        H = self.num_heads
+        Dh = self.dim // H
+        dg = lambda name: nn.DenseGeneral(
+            (H, Dh), dtype=self.dtype, name=name
+        )
+        q = dg("query")(x) / jnp.sqrt(Dh).astype(self.dtype)
+        k = dg("key")(x)
+        v = dg("value")(x)                          # (B, L, H, Dh)
+
+        pad = (-L) % self.q_block
+        nb = (L + pad) // self.q_block
+        qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        qb = qp.reshape(B, nb, self.q_block, H, Dh).transpose(1, 0, 2, 3, 4)
+
+        def blk(qi):  # (B, Qb, H, Dh); keys/values closed over, unpadded
+            logits = jnp.einsum(
+                "bqhd,bkhd->bhqk", qi, k,
+                preferred_element_type=jnp.float32,
+            )
+            w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+            return jnp.einsum("bhqk,bkhd->bqhd", w, v)
+
+        out = jax.lax.map(blk, qb)                  # (nb, B, Qb, H, Dh)
+        out = out.transpose(1, 0, 2, 3, 4).reshape(B, L + pad, H, Dh)[:, :L]
+        return nn.DenseGeneral(
+            self.dim, axis=(-2, -1), dtype=self.dtype, name="out"
+        )(out)
+
+
 class ViTBlock(nn.Module):
     dim: int
     num_heads: int
@@ -34,14 +85,9 @@ class ViTBlock(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="norm1")(x)
-        h = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads,
-            qkv_features=self.dim,
-            deterministic=deterministic,
-            dtype=self.dtype,
-            force_fp32_for_softmax=True,  # bf16-mixed fp32 island
-            name="attn",
-        )(h, h)
+        h = BlockedSelfAttention(
+            self.dim, self.num_heads, dtype=self.dtype, name="attn"
+        )(h)
         x = x + h
         h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="norm2")(x)
         h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(h)

@@ -201,13 +201,24 @@ def neighbor_conv27(feat, nbr, w, compute_dtype):
     rows), which is the identity when voxels are singly occupied.
     """
     B, N, C = feat.shape
-    hit = nbr >= 0
-    safe = jnp.maximum(nbr, 0)
-    gathered = jnp.take_along_axis(
-        feat, safe.reshape(B, -1)[..., None], axis=1
-    ).reshape(B, N, 27, C)
-    gathered = jnp.where(hit[..., None], gathered, 0.0).astype(compute_dtype)
-    return jnp.einsum("bnoc,ocd->bnd", gathered, w.astype(compute_dtype))
+    D = w.shape[-1]
+
+    # scan over taps: the materialized (B, N, 27, C) gather was the B=3
+    # flagship's largest HLO temp (900MB per CPE layer, r5); per-tap the
+    # working set is (B, N, C) and the tap sum accumulates in f32
+    def tap(acc, xo):
+        nbr_o, w_o = xo                              # (B, N), (C, D)
+        g = jnp.take_along_axis(feat, jnp.maximum(nbr_o, 0)[..., None],
+                                axis=1)
+        g = jnp.where((nbr_o >= 0)[..., None], g, 0.0).astype(compute_dtype)
+        return acc + jnp.einsum(
+            "bnc,cd->bnd", g, w_o.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        ), None
+
+    acc0 = jnp.zeros((B, N, D), jnp.float32)
+    y, _ = jax.lax.scan(tap, acc0, (jnp.moveaxis(nbr, -1, 0), w))
+    return y.astype(compute_dtype)
 
 
 def _nc27_fwd(feat, nbr, w, compute_dtype):
@@ -219,23 +230,11 @@ def _nc27_bwd(compute_dtype, res, ct):
 
     feat, nbr, w = res
     B, N, C = feat.shape
-    hit = nbr >= 0
-    safe = jnp.maximum(nbr, 0)
 
-    # -- kernel gradient (recompute the forward gather; f32 accumulate)
-    gathered = jnp.take_along_axis(
-        feat, safe.reshape(B, -1)[..., None], axis=1
-    ).reshape(B, N, 27, C)
-    gathered = jnp.where(hit[..., None], gathered, 0.0).astype(compute_dtype)
-    w_grad = jnp.einsum(
-        "bnoc,bnd->ocd", gathered, ct.astype(compute_dtype),
-        preferred_element_type=jnp.float32,
-    ).astype(w.dtype)
-
-    # -- feature gradient: per-voxel cotangent sums at the REPRESENTATIVE
-    # rows (nbr[:, :, 13] is each point's own voxel representative), then
-    # the tap-reversed gather-contraction.  Non-representative co-voxel
-    # points are never read by the forward, so their gradient is zero.
+    # -- per-voxel cotangent sums at the REPRESENTATIVE rows
+    # (nbr[:, :, 13] is each point's own voxel representative).
+    # Non-representative co-voxel points are never read by the forward,
+    # so their gradient is zero.
     rep = nbr[..., 13]                                   # (B, N)
     off = jnp.arange(B, dtype=jnp.int32)[:, None] * N
     tgt = jnp.where(rep >= 0, rep + off, B * N)
@@ -246,19 +245,43 @@ def _nc27_bwd(compute_dtype, res, ct):
         .add(ct_f, mode="drop")
         .reshape(B, N, -1)
     )
-    ct_nbr = jnp.take_along_axis(
-        ct_sum, safe.reshape(B, -1)[..., None], axis=1
-    ).reshape(B, N, 27, -1)
-    ct_nbr = jnp.where(hit[..., None], ct_nbr, 0.0).astype(compute_dtype)
-    feat_grad = jnp.einsum(
-        "bnod,ocd->bnc", ct_nbr, w[::-1].astype(compute_dtype),
-        preferred_element_type=jnp.float32,
+    ct_c = ct.astype(compute_dtype)
+
+    # scan over taps (same working-set rationale as the forward): per tap
+    # o, the kernel grad is the tap's gather against ct, and the feature
+    # grad accumulates the tap-REVERSED contraction over ct_sum
+    # (``offs[26-o] = -offs[o]`` symmetry between voxel representatives).
+    def tap(acc, xo):
+        nbr_o, nbr_rev_o, w_rev_o = xo     # (B,N), (B,N), (C,D)
+        fg_acc = acc
+        g = jnp.take_along_axis(feat, jnp.maximum(nbr_o, 0)[..., None],
+                                axis=1)
+        g = jnp.where((nbr_o >= 0)[..., None], g, 0.0).astype(compute_dtype)
+        wg_o = jnp.einsum("bnc,bnd->cd", g, ct_c,
+                          preferred_element_type=jnp.float32)
+        cn = jnp.take_along_axis(ct_sum, jnp.maximum(nbr_rev_o, 0)[..., None],
+                                 axis=1)
+        cn = jnp.where((nbr_rev_o >= 0)[..., None], cn, 0.0).astype(
+            compute_dtype)
+        fg_acc = fg_acc + jnp.einsum(
+            "bnd,cd->bnc", cn, w_rev_o.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return fg_acc, wg_o
+
+    nbr_t = jnp.moveaxis(nbr, -1, 0)                    # (27, B, N)
+    fg0 = jnp.zeros((B, N, C), jnp.float32)
+    feat_grad, w_grad = jax.lax.scan(
+        tap, fg0, (nbr_t, nbr_t, w[::-1])
     )
+    # tap o of the scan produced w_grad[o] (forward order) and consumed
+    # nbr[o] with w[26-o] for the feature grad — both orderings line up
+    # because nbr_rev uses the SAME tap index (the reversal lives in w).
     iota = jnp.arange(N, dtype=rep.dtype)[None, :]
     is_rep = (rep == iota)
     feat_grad = jnp.where(is_rep[..., None], feat_grad, 0.0).astype(feat.dtype)
     nbr_zero = np.zeros(nbr.shape, jax.dtypes.float0)
-    return feat_grad, nbr_zero, w_grad
+    return feat_grad, nbr_zero, w_grad.astype(w.dtype)
 
 
 neighbor_conv27.defvjp(_nc27_fwd, _nc27_bwd)

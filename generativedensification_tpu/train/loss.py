@@ -42,8 +42,8 @@ _SSIM_PREC = {
 }[_os.environ.get("GD_SSIM_PREC", "default")]
 
 
-def _blur(x: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
-    """Separable valid-padding gaussian filter, NHWC, per channel."""
+def _blur_conv(x: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
+    """Conv-form separable blur (A/B reference; see ``_blur``)."""
     C = x.shape[-1]
     k = win.shape[0]
     kern_h = jnp.tile(win.reshape(1, k, 1, 1, 1), (1, 1, 1, 1, C)).reshape(k, 1, 1, C)
@@ -58,6 +58,32 @@ def _blur(x: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
         x, kern_w, (1, 1), "VALID", dimension_numbers=dn,
         feature_group_count=C, precision=_SSIM_PREC,
     )
+    return x
+
+
+def _blur(x: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
+    """Separable valid-padding gaussian filter, NHWC, per channel.
+
+    Shift-and-add form (the TPU-native choice, r5): k contiguous slices
+    x weight, summed — pure f32 VPU elementwise that XLA fuses into one
+    pass per axis, layout-neutral, and EXACT f32.  Both conv forms
+    failed on TPU: JAX-default precision runs the f32 convs as ONE bf16
+    pass, which destroys SSIM's E[x²]-E[x]² variance cancellation
+    (measured: ms_ssim 0.9993 vs the true 0.9878 on a 0.05-noise pair —
+    the (1-ssim) loss signal 17x too small, gradients garbage); forcing
+    f32 convs (GD_SSIM_PREC=highest) makes XLA assign (3,3)-minor padded
+    conv layouts that cascade 56x-padded 4GB temps and OOM the B=3
+    reference batch.  GD_SSIM_IMPL=conv restores the conv form for A/B.
+    """
+    if _os.environ.get("GD_SSIM_IMPL", "shift") == "conv":
+        return _blur_conv(x, win)
+    k = win.shape[0]
+    for axis in (1, 2):
+        n = x.shape[axis] - k + 1
+        y = win[0] * jax.lax.slice_in_dim(x, 0, n, axis=axis)
+        for t in range(1, k):
+            y = y + win[t] * jax.lax.slice_in_dim(x, t, t + n, axis=axis)
+        x = y
     return x
 
 
@@ -208,9 +234,14 @@ class Losses:
             stats[f"mse{prex}"] = jax.lax.stop_gradient(mse)
             stats[f"psnr{prex}"] = jax.lax.stop_gradient(psnr(mse))
 
-            s = ms_ssim(
-                output[f"image{prex}"], tar, weights=self.weights
-            )
+            # remat the SSIM pyramid at B > 1: its blur residuals are the
+            # marginal ~hundreds of MB that push the B=3 reference batch
+            # 40MB past HBM (r5); the forward recompute is ~tens of ms.
+            # Gradients are identical (remat is exact).
+            ssim_fn = lambda a, b: ms_ssim(a, b, weights=self.weights)
+            if B > 1:
+                ssim_fn = jax.checkpoint(ssim_fn)
+            s = ssim_fn(output[f"image{prex}"], tar)
             stats[f"ssim{prex}"] = jax.lax.stop_gradient(s)
             loss = loss + 0.5 * (1.0 - s)
 

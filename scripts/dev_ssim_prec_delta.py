@@ -17,8 +17,14 @@ a, b = jnp.asarray(a), jnp.asarray(b)
 
 vals = {}
 grads = {}
-for prec in ("default", "highest"):
-    os.environ["GD_SSIM_PREC"] = prec
+CASES = {
+    "shift": {"GD_SSIM_IMPL": "shift"},
+    "conv_bf16pass": {"GD_SSIM_IMPL": "conv", "GD_SSIM_PREC": "default"},
+    "conv_f32": {"GD_SSIM_IMPL": "conv", "GD_SSIM_PREC": "highest"},
+}
+for name, env in CASES.items():
+    for k, v in env.items():
+        os.environ[k] = v
     import generativedensification_tpu.train.loss as L
     importlib.reload(L)
 
@@ -27,13 +33,13 @@ for prec in ("default", "highest"):
 
     v, g = jax.jit(jax.value_and_grad(f))(a)
     jax.block_until_ready(g)
-    vals[prec] = float(v)
-    grads[prec] = np.asarray(g)
-    print(f"{prec}: ms_ssim = {vals[prec]:.8f}", flush=True)
+    vals[name] = float(v)
+    grads[name] = np.asarray(g)
+    print(f"{name}: ms_ssim = {vals[name]:.8f}", flush=True)
 
-dv = abs(vals["default"] - vals["highest"])
-dg = np.abs(grads["default"] - grads["highest"])
-gm = np.abs(grads["highest"]).max()
+dv = abs(vals["shift"] - vals["conv_f32"])
+dg = np.abs(grads["shift"] - grads["conv_f32"])
+gm = np.abs(grads["conv_f32"]).max()
 print(f"value delta: {dv:.3e}")
 print(f"grad max abs delta: {dg.max():.3e}  (rel to max |g| {gm:.3e}: "
       f"{dg.max()/max(gm,1e-30):.3e})")

@@ -129,10 +129,14 @@ def make_fwd(stage: str):
             boff = pl.multiple_of((c % 2) * SLAB_W2, SLAB_W2)
             A = buf[pl.ds(boff, SLAB_W2)]
             if stage == "dma":
-                # row-sum touch (a full scalar reduce SIGABRT'd Mosaic on
-                # the 32-row slab; the 16-row 3DGS version was fine)
-                rows = jnp.sum(A, axis=1, keepdims=True)[:8]   # (8, 1)
-                C8 = C8 + rows * jnp.full((8, npix), 1e-30, jnp.float32)
+                # touch via one tiny MXU matmul (scalar reduces of the
+                # 32-row slab crash Mosaic two different ways; the 1e-30
+                # ones operand keeps XLA from constant-folding it away)
+                C8 = C8 + jax.lax.dot_general(
+                    A[:8], jnp.full((CHUNK, npix), 1e-30, jnp.float32),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
                 return (c + 1, T_raw, C8, Dexp, Dmed, m1, m2)
             AT = A.T
             depth_on = stage not in ("alpha",)

@@ -44,8 +44,11 @@ class TestNeighborConv27VJP:
         def new(feat, w):
             return neighbor_conv27(feat, nbr, w, jnp.float32)
 
-        np.testing.assert_array_equal(np.asarray(new(feat, w)),
-                                      np.asarray(old(feat, w)))
+        # scan-over-taps accumulation order differs from the fused
+        # einsum contraction by f32 association only
+        np.testing.assert_allclose(np.asarray(new(feat, w)),
+                                   np.asarray(old(feat, w)),
+                                   rtol=0, atol=1e-5)
         ct = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
         gn = jax.vjp(new, feat, w)[1](ct)
         go = jax.vjp(old, feat, w)[1](ct)
@@ -53,3 +56,36 @@ class TestNeighborConv27VJP:
                                    rtol=0, atol=1e-5)
         np.testing.assert_allclose(np.asarray(gn[1]), np.asarray(go[1]),
                                    rtol=0, atol=1e-4)
+
+
+class TestBlockedSelfAttention:
+    """r5: the ViT attention is computed in query blocks (the full
+    (B·V, H, 1025, 1025) matrices were the B=3 flagship's largest
+    allocations).  Exact: same params tree AND same outputs as flax's
+    MultiHeadDotProductAttention."""
+
+    def test_matches_flax_mhdpa(self):
+        from flax import linen as nn
+        from generativedensification_tpu.models.vit import (
+            BlockedSelfAttention,
+        )
+
+        B, L, D, H = 2, 37, 64, 4
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(B, L, D)), jnp.float32)
+        new = BlockedSelfAttention(D, H, q_block=16)
+        old = nn.MultiHeadDotProductAttention(
+            num_heads=H, qkv_features=D, deterministic=True,
+            force_fp32_for_softmax=True)
+        params = new.init({"params": jax.random.PRNGKey(0)}, x)
+        import jax.tree_util as jtu
+
+        paths_new = sorted(str(k) for k, _ in
+                           jtu.tree_flatten_with_path(params)[0])
+        paths_old = sorted(str(k) for k, _ in jtu.tree_flatten_with_path(
+            old.init({"params": jax.random.PRNGKey(0)}, x, x))[0])
+        assert paths_new == paths_old
+        y_new = new.apply(params, x)
+        y_old = old.apply(params, x, x)  # same params
+        np.testing.assert_allclose(np.asarray(y_new), np.asarray(y_old),
+                                   rtol=0, atol=1e-6)
