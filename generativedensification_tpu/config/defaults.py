@@ -137,9 +137,11 @@ BASE = {
         # then the tight config.  Alarm fires when stats["overflow"] > 0
         # at the logging cadence: "warn" | "raise" | "off".
         "overflow_warmup_steps": 2000,
-        "warmup_max_tiles": 9,
-        "warmup_enum_tiles": 16,
-        "warmup_max_per_tile": 8192,
+        # None = renderer-aware auto (3dgs: 9/16/8192, 2dgs: 16/25/16384
+        # — the measured overflow==0-from-random-init budgets)
+        "warmup_max_tiles": None,
+        "warmup_enum_tiles": None,
+        "warmup_max_per_tile": None,
         "overflow_alarm": "warn",
     },
 }

@@ -119,10 +119,18 @@ def main(cfg):
             if n_views != net_cfg.n_views:
                 over["n_views"] = n_views
             if warm:
+                # measured overflow==0-from-random-init budgets per
+                # renderer (BASELINE.md warmup probes): 2DGS surfels carry
+                # larger random-init screen footprints (1.2M dropped pairs
+                # at the 3DGS budgets, 0 at 16/25/16384)
+                is_2dgs = cfg.tpu.get("renderer", "3dgs") == "2dgs"
+                mt, et, mpt = (16, 25, 16384) if is_2dgs else (9, 16, 8192)
                 over.update(
-                    max_tiles=int(cfg.tpu.get("warmup_max_tiles", 9)),
-                    enum_tiles=int(cfg.tpu.get("warmup_enum_tiles", 16)),
-                    max_per_tile=int(cfg.tpu.get("warmup_max_per_tile", 8192)),
+                    max_tiles=int(cfg.tpu.get("warmup_max_tiles") or mt),
+                    enum_tiles=int(cfg.tpu.get("warmup_enum_tiles") or et),
+                    max_per_tile=int(
+                        cfg.tpu.get("warmup_max_per_tile") or mpt
+                    ),
                     pair_budget=0.0,
                 )
             net_v = Network(dataclasses.replace(net_cfg, **over)) if over else net
