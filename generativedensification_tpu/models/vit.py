@@ -85,8 +85,12 @@ class ViTBlock(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="norm1")(x)
+        import os as _os
+
         h = BlockedSelfAttention(
-            self.dim, self.num_heads, dtype=self.dtype, name="attn"
+            self.dim, self.num_heads,
+            q_block=int(_os.environ.get("GD_VIT_QB", "128")),  # A/B knob
+            dtype=self.dtype, name="attn",
         )(h)
         x = x + h
         h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="norm2")(x)
